@@ -1,0 +1,231 @@
+"""Functional model interpreter: (spec, params, state, images) → head outputs.
+
+Re-designs the reference's Keras functional-graph builder
+(core/parse_model.py:216-314) as a pure interpreter over a static
+``ModelSpec``. Params and BatchNorm running statistics are pytrees:
+
+    params[sub_model][f"layer{i}"] = {"kernel", ("bias" | "bn": {gamma, beta})}
+    state [sub_model][f"layer{i}"] = {"mean", "var"}          (BN layers only)
+
+The interpreter is shape-polymorphic at trace time (grid sizes derive from
+the actual feature-map dims, not the DSL's literal ``grid_size``) and
+contains no Python control flow that depends on array values, so it jits
+to a single fused XLA program. A conv layer applies BN iff its param dict
+holds a "bn" entry — which makes inference-time BN folding
+(``fold_batch_norm``) a pure params→params transform.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import layers as L
+from .spec import LayerSpec, ModelSpec, SubModelSpec
+
+
+def _route_sources(layer: LayerSpec, inputs_entry, layer_outs):
+    """Reference core/parse_model.py:102-140 route semantics."""
+    source = dict(layer["source"])
+    selected = []
+    if "layers" in source:
+        selected.extend(layer_outs[int(i)] for i in source["layers"])
+    if "inputs" in source:
+        if isinstance(inputs_entry, (list, tuple)):
+            selected.extend(inputs_entry[int(i)] for i in source["inputs"])
+        else:
+            selected.append(inputs_entry)
+    if len(selected) == 1:
+        return selected[0]
+    if len(selected) == 2:
+        return jnp.concatenate(selected, axis=-1)
+    raise ValueError(f"Invalid number of route sources: {len(selected)}")
+
+
+def _apply_sub_model(
+    sm: SubModelSpec,
+    sm_params,
+    sm_state,
+    inputs_entry,
+    nclasses: int,
+    train: bool,
+):
+    """Run one sub-model's layer list; returns (selected outputs, new bn state)."""
+    # the running 'x' starts as the (single) input, like Keras chaining
+    x = inputs_entry if not isinstance(inputs_entry, (list, tuple)) else inputs_entry[0]
+    layer_outs = []
+    new_state = {}
+    for i, layer in enumerate(sm.layers):
+        key = f"layer{i}"
+        if layer.kind == "convolutional":
+            p = sm_params[key]
+            x = L.conv2d(x, p["kernel"], layer["stride"], layer.get("pad", 1))
+            if "bn" in p:
+                x, ns = L.batch_norm(x, p["bn"], sm_state[key], train)
+                new_state[key] = ns
+            elif "bias" in p:
+                x = x + p["bias"].astype(x.dtype)
+            if layer.get("activation") == "leaky":
+                x = L.leaky_relu(x)
+        elif layer.kind == "shortcut":
+            x = layer_outs[layer["from"]] + x
+        elif layer.kind == "route":
+            x = _route_sources(layer, inputs_entry, layer_outs)
+        elif layer.kind == "upsample":
+            x = L.upsample_nearest(x, layer["stride"])
+        elif layer.kind == "maxpool":
+            x = L.max_pool(x, list(layer["size_xy"]), list(layer["stride_xy"]), layer["padding"])
+        elif layer.kind == "yolo":
+            b, h, w, c = x.shape
+            # raw logits, no activation (reference parse_model.py:209-211)
+            x = x.reshape(b, h, w, 3, 5 + nclasses)
+        else:
+            raise ValueError(f"unknown layer kind {layer.kind}")
+        layer_outs.append(x)
+    outputs = [layer_outs[i] for i in sm.outputs_layers]
+    return outputs, new_state
+
+
+def apply_model(spec: ModelSpec, params, state, images, train: bool = False):
+    """Forward pass. Returns (list of head outputs [B,g,g,3,5+nc], new_state).
+
+    ``images``: NHWC float batch. Output order = config order of sub-models
+    whose name contains ``spec.output_stage`` (13-grid head first for yolov3).
+    """
+    produced = {}
+    new_state = {}
+    for sm in spec.sub_models:
+        if sm.inputs is None:
+            inputs_entry = images
+        else:
+            srcs = [produced[name][entry_index] for name, entry_index in sm.inputs]
+            inputs_entry = srcs[0] if len(srcs) == 1 else srcs
+        outs, sm_new_state = _apply_sub_model(
+            sm, params[sm.name], state.get(sm.name, {}), inputs_entry,
+            spec.nclasses, train,
+        )
+        produced[sm.name] = outs
+        if sm_new_state:
+            new_state[sm.name] = sm_new_state
+
+    outputs = []
+    for sm in spec.output_sub_models:
+        outputs.extend(produced[sm.name])
+    return outputs, new_state
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def _infer_channels(spec: ModelSpec):
+    """Static channel-count inference per layer, for param shapes."""
+    produced = {}  # sub-model name -> list of output channel counts
+    per_layer = {}  # (sm.name, layer idx) -> (cin, cout) for conv layers
+    for sm in spec.sub_models:
+        if sm.inputs is None:
+            inputs_c = 3
+        else:
+            srcs = [produced[name][entry_index] for name, entry_index in sm.inputs]
+            inputs_c = srcs[0] if len(srcs) == 1 else srcs
+        c = inputs_c if not isinstance(inputs_c, list) else inputs_c[0]
+        outs_c = []
+        for i, layer in enumerate(sm.layers):
+            if layer.kind == "convolutional":
+                per_layer[(sm.name, i)] = (c, layer["filters"])
+                c = layer["filters"]
+            elif layer.kind == "route":
+                source = dict(layer["source"])
+                sel = []
+                if "layers" in source:
+                    sel.extend(outs_c[int(j)] for j in source["layers"])
+                if "inputs" in source:
+                    if isinstance(inputs_c, list):
+                        sel.extend(inputs_c[int(j)] for j in source["inputs"])
+                    else:
+                        sel.append(inputs_c)
+                c = sum(sel) if len(sel) > 1 else sel[0]
+            # shortcut / upsample / maxpool / yolo keep channel count
+            outs_c.append(c)
+        produced[sm.name] = [outs_c[i] for i in sm.outputs_layers]
+    return per_layer
+
+
+def init_model(rng, spec: ModelSpec, dtype=jnp.float32):
+    """Initialize (params, state) pytrees with Keras-default initializers."""
+    per_layer = _infer_channels(spec)
+    params, state = {}, {}
+    for sm in spec.sub_models:
+        sm_params, sm_state = {}, {}
+        for i, layer in enumerate(sm.layers):
+            if layer.kind != "convolutional":
+                continue
+            cin, cout = per_layer[(sm.name, i)]
+            k = layer["size"]
+            rng, sub = jax.random.split(rng)
+            entry = {"kernel": L.glorot_uniform(sub, (k, k, cin, cout), dtype)}
+            if layer["batch_normalize"]:
+                entry["bn"] = {
+                    "gamma": jnp.ones((cout,), dtype),
+                    "beta": jnp.zeros((cout,), dtype),
+                }
+                sm_state[f"layer{i}"] = {
+                    "mean": jnp.zeros((cout,), jnp.float32),
+                    "var": jnp.ones((cout,), jnp.float32),
+                }
+            else:
+                entry["bias"] = jnp.zeros((cout,), dtype)
+            sm_params[f"layer{i}"] = entry
+        params[sm.name] = sm_params
+        if sm_state:
+            state[sm.name] = sm_state
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# Transforms
+# ---------------------------------------------------------------------------
+
+
+def l2_regularization(params, decay: float):
+    """Keras l2(decay) on every conv kernel: decay * Σ w² (train.py:49 adds
+    tf.reduce_sum(model.losses))."""
+    total = 0.0
+    for sm_params in params.values():
+        for entry in sm_params.values():
+            k = entry["kernel"].astype(jnp.float32)
+            total = total + jnp.sum(k * k)
+    return decay * total
+
+
+def fold_batch_norm(params, state, eps: float = L.BN_EPS):
+    """Fold BN into conv kernel+bias for inference (pure params transform).
+
+    y = gamma*(conv(x) - mean)/sqrt(var+eps) + beta
+      = conv(x, kernel*s) + (beta - mean*s),  s = gamma/sqrt(var+eps)
+    """
+    folded = {}
+    for sm_name, sm_params in params.items():
+        sm_folded = {}
+        for key, entry in sm_params.items():
+            if "bn" in entry:
+                bn = entry["bn"]
+                st = state[sm_name][key]
+                s = bn["gamma"] / jnp.sqrt(st["var"] + eps)
+                sm_folded[key] = {
+                    "kernel": entry["kernel"] * s.reshape(1, 1, 1, -1),
+                    "bias": bn["beta"] - st["mean"] * s,
+                }
+            else:
+                sm_folded[key] = dict(entry)
+        folded[sm_name] = sm_folded
+    return folded
+
+
+def param_count(params) -> int:
+    return sum(x.size for x in jax.tree.leaves(params))
+
+
+def state_count(state) -> int:
+    return sum(x.size for x in jax.tree.leaves(state))
