@@ -1,0 +1,158 @@
+"""Input pipeline: dataset dispatcher, batcher, async host→device prefetch.
+
+The reference pushes everything through tf.data (create_dataset.py:36-59,
+preprocess_dataset.py:122-144). Here the host side is a thin Python/numpy
+pipeline — decode + resize only — because the expensive label work (grid
+scatter target assignment) runs *on device inside the jitted train step*
+(ops/assign.py), and batches are streamed to HBM ahead of compute by a
+double-buffering prefetch thread.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import queue
+import threading
+
+import numpy as np
+
+
+class Dataset:
+    """Restartable dataset: wraps a generator factory of (image, labels)."""
+
+    def __init__(self, gen_factory, size: int = -1):
+        self._gen_factory = gen_factory
+        self.size = size
+
+    def __iter__(self):
+        return iter(self._gen_factory())
+
+    def take(self, n: int) -> "Dataset":
+        return Dataset(lambda: itertools.islice(self._gen_factory(), n),
+                       size=min(self.size, n) if self.size >= 0 else n)
+
+    def map(self, fn) -> "Dataset":
+        return Dataset(lambda: (fn(*ex) for ex in self._gen_factory()), size=self.size)
+
+
+def load_debug_dataset(image_size: int, repo_root: str = "."):
+    """Single-image debug dataset (reference create_dataset.py:18-33):
+    girl.png + 3 hardcoded boxes (person, chair, cell phone)."""
+    from .image import decode_image, resize_bilinear
+
+    path = os.path.join(repo_root, "datasets/coco2012/images/girl.png")
+    labels = np.array(
+        [
+            [0.18494931, 0.03049111, 0.9435849, 0.96302897, 1, 0],
+            [0.01586703, 0.35938117, 0.17582396, 0.6069674, 1, 56],
+            [0.09158827, 0.48252046, 0.26967454, 0.6403017, 1, 67],
+        ]
+        + [[0, 0, 0, 0, 0, 0]] * 97,
+        np.float32,
+    )
+
+    def gen():
+        with open(path, "rb") as f:
+            img = decode_image(f.read()).astype(np.float32)
+        img = resize_bilinear(img / 255.0, image_size, image_size)
+        yield img, labels
+
+    return Dataset(gen, size=1), 1
+
+
+def create_dataset(dataset_config, image_size, max_bboxes, classes_name_file,
+                   max_dataset_examples=None):
+    """Dispatcher with the reference surface (create_dataset.py:36-59):
+    returns ([train, valid] Datasets, [train_size, valid_size])."""
+    datasets = [None, None]
+    sizes = [-1, -1]
+    source = dataset_config["input_data_source"]
+    if source == "tfrecords":
+        from .tfrecord import parse_tfrecords
+
+        for idx, split in enumerate(["train", "valid"]):
+            tfdir = dataset_config["tfrecords"][split]
+            datasets[idx] = Dataset(
+                lambda d=tfdir: parse_tfrecords(d, image_size, max_bboxes, classes_name_file)
+            )
+    elif source == "data_files":
+        from .coco_json import create_dataset_from_files
+
+        for idx, split in enumerate(["train", "valid"]):
+            cfg = dataset_config["data_files"][split]
+            datasets[idx], sizes[idx] = create_dataset_from_files(
+                cfg["images_dir"], cfg["annotations"], image_size,
+                max_dataset_examples, max_bboxes=max_bboxes,
+            )
+    else:  # debug single-image dataset
+        for idx in range(2):
+            datasets[idx], sizes[idx] = load_debug_dataset(image_size)
+
+    if max_dataset_examples and source == "tfrecords":
+        datasets = [d.take(int(max_dataset_examples)) for d in datasets]
+    return datasets, sizes
+
+
+class Batcher:
+    """Stack examples into fixed-size batches; drop_remainder is mandatory
+    (static shapes — same reason as reference preprocess_dataset.py:123-127)."""
+
+    def __init__(self, dataset, batch_size: int, drop_remainder: bool = True):
+        if not drop_remainder:
+            raise ValueError("static-shape pipeline requires drop_remainder=True")
+        self.dataset = dataset
+        self.batch_size = batch_size
+
+    def __iter__(self):
+        images, labels = [], []
+        for img, lab in self.dataset:
+            images.append(img)
+            labels.append(lab)
+            if len(images) == self.batch_size:
+                yield np.stack(images), np.stack(labels)
+                images, labels = [], []
+
+
+class DevicePrefetcher:
+    """Background-thread prefetch: overlaps host decode with device compute.
+
+    Puts batches on device (optionally with a NamedSharding) ahead of the
+    consumer — the host side of double buffering; XLA's async dispatch
+    covers the device side.
+    """
+
+    def __init__(self, iterable, buffer_size: int = 2, sharding=None):
+        self.iterable = iterable
+        self.buffer_size = buffer_size
+        self.sharding = sharding
+
+    def __iter__(self):
+        import jax
+
+        q: queue.Queue = queue.Queue(maxsize=self.buffer_size)
+        stop = object()
+        err_box = []
+
+        def worker():
+            try:
+                for batch in self.iterable:
+                    if self.sharding is not None:
+                        batch = jax.device_put(batch, self.sharding)
+                    else:
+                        batch = jax.device_put(batch)
+                    q.put(batch)
+            except BaseException as e:  # propagate to consumer
+                err_box.append(e)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                if err_box:
+                    raise err_box[0]
+                return
+            yield item

@@ -1,0 +1,232 @@
+"""Dependency-free TFRecord + tf.train.Example reader.
+
+The reference reads detection TFRecords through tf.data
+(core/load_tfrecords.py:18-101). This framework reads the same files with
+a ~150-line pure-Python/numpy implementation — no TensorFlow import:
+
+  * TFRecord framing: [uint64 length][uint32 masked-crc(length)]
+    [data][uint32 masked-crc(data)] — CRCs are validated (crc32c).
+  * tf.train.Example protobuf: hand-rolled wire-format decoder for the
+    tiny message subset Example uses (Features → map<string, Feature> →
+    {bytes_list, float_list, int64_list}).
+
+Feature schema parity (load_tfrecords.py:34-41): image/encoded,
+image/object/class/text, image/object/bbox/{xmin,ymin,xmax,ymax}.
+Label rows are [xmin, ymin, xmax, ymax, obj=1, class_id] padded to
+max_bboxes (load_tfrecords.py:52-74).
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import os
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# crc32c (software table implementation — hot path is JPEG decode, not CRC)
+# ---------------------------------------------------------------------------
+
+_CRC_TABLE = None
+
+
+def _crc32c_table():
+    global _CRC_TABLE
+    if _CRC_TABLE is None:
+        poly = 0x82F63B78
+        table = np.zeros(256, np.uint32)
+        for i in range(256):
+            crc = i
+            for _ in range(8):
+                crc = (crc >> 1) ^ (poly if crc & 1 else 0)
+            table[i] = crc
+        _CRC_TABLE = table
+    return _CRC_TABLE
+
+
+def crc32c(data: bytes) -> int:
+    table = _crc32c_table()
+    crc = np.uint32(0xFFFFFFFF)
+    buf = np.frombuffer(data, np.uint8)
+    # vectorized-ish byte loop; fine for 8/12-byte headers, ok for payloads
+    crc_val = 0xFFFFFFFF
+    tab = table.tolist()
+    for b in buf.tolist():
+        crc_val = tab[(crc_val ^ b) & 0xFF] ^ (crc_val >> 8)
+    return crc_val ^ 0xFFFFFFFF
+
+
+def masked_crc(data: bytes) -> int:
+    crc = crc32c(data)
+    return ((((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF)
+
+
+def iter_tfrecord_records(path: str, validate_crc: bool = True):
+    """Yield raw record bytes from one TFRecord file."""
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(12)
+            if not header:
+                return
+            if len(header) < 12:
+                raise IOError(f"{path}: truncated record header")
+            (length,) = struct.unpack("<Q", header[:8])
+            (len_crc,) = struct.unpack("<I", header[8:])
+            if validate_crc and masked_crc(header[:8]) != len_crc:
+                raise IOError(f"{path}: length CRC mismatch")
+            data = f.read(length)
+            if len(data) < length:
+                raise IOError(f"{path}: truncated record body")
+            (data_crc,) = struct.unpack("<I", f.read(4))
+            if validate_crc and masked_crc(data) != data_crc:
+                raise IOError(f"{path}: data CRC mismatch")
+            yield data
+
+
+def iter_tfrecord_files(tfrecords_dir: str):
+    """All *.tfrec files in a dir (reference globs '*.tfrec',
+    load_tfrecords.py:92)."""
+    return sorted(glob.glob(os.path.join(tfrecords_dir, "*.tfrec")))
+
+
+# ---------------------------------------------------------------------------
+# Minimal protobuf wire-format decode for tf.train.Example
+# ---------------------------------------------------------------------------
+
+
+def _read_varint(buf: memoryview, pos: int):
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _iter_fields(buf: memoryview):
+    """Yield (field_number, wire_type, value) over a protobuf message."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:  # varint
+            val, pos = _read_varint(buf, pos)
+        elif wire == 1:  # 64-bit
+            val = bytes(buf[pos : pos + 8]); pos += 8
+        elif wire == 2:  # length-delimited
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + ln]; pos += ln
+        elif wire == 5:  # 32-bit
+            val = bytes(buf[pos : pos + 4]); pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field, wire, val
+
+
+def _parse_feature(buf: memoryview):
+    """Feature = oneof {bytes_list=1, float_list=2, int64_list=3}."""
+    for field, _, val in _iter_fields(buf):
+        if field == 1:  # BytesList { repeated bytes value = 1 }
+            return [bytes(v) for f, _, v in _iter_fields(val) if f == 1]
+        if field == 2:  # FloatList { repeated float value = 1 [packed] }
+            floats = []
+            for f, wire, v in _iter_fields(val):
+                if f != 1:
+                    continue
+                if wire == 2:  # packed
+                    floats.extend(np.frombuffer(v, "<f4").tolist())
+                else:
+                    floats.append(struct.unpack("<f", v)[0])
+            return floats
+        if field == 3:  # Int64List { repeated int64 value = 1 [packed] }
+            ints = []
+            for f, wire, v in _iter_fields(val):
+                if f != 1:
+                    continue
+                if wire == 2:
+                    pos = 0
+                    while pos < len(v):
+                        x, pos = _read_varint(v, pos)
+                        ints.append(x)
+                else:
+                    ints.append(v)
+            return ints
+    return []
+
+
+def parse_example(record: bytes) -> dict:
+    """tf.train.Example → {feature_name: list}."""
+    features = {}
+    buf = memoryview(record)
+    for field, _, val in _iter_fields(buf):
+        if field != 1:  # Example.features
+            continue
+        for f2, _, entry in _iter_fields(val):
+            if f2 != 1:  # Features.feature (map entry)
+                continue
+            name, feat = None, []
+            for f3, _, v3 in _iter_fields(entry):
+                if f3 == 1:
+                    name = bytes(v3).decode("utf-8")
+                elif f3 == 2:
+                    feat = _parse_feature(v3)
+            if name is not None:
+                features[name] = feat
+    return features
+
+
+# ---------------------------------------------------------------------------
+# Detection-example decoding (schema parity with the reference)
+# ---------------------------------------------------------------------------
+
+
+def decode_detection_example(example: dict, image_size: int, max_bboxes: int, class_to_id):
+    """One parsed Example → (image float32 (S,S,3) in [0,1], labels (M,6))."""
+    from .image import decode_image, resize_bilinear
+
+    encoded = example["image/encoded"][0]
+    img = decode_image(encoded)
+    img = resize_bilinear(img.astype(np.float32), image_size, image_size) / 255.0
+
+    xmin = np.asarray(example.get("image/object/bbox/xmin", []), np.float32)
+    ymin = np.asarray(example.get("image/object/bbox/ymin", []), np.float32)
+    xmax = np.asarray(example.get("image/object/bbox/xmax", []), np.float32)
+    ymax = np.asarray(example.get("image/object/bbox/ymax", []), np.float32)
+    names = [b.decode("utf-8") for b in example.get("image/object/class/text", [])]
+
+    nboxes = len(xmin)
+    if nboxes > max_bboxes:
+        raise ValueError(f"example has {nboxes} boxes > max_bboxes={max_bboxes}")
+    labels = np.zeros((max_bboxes, 6), np.float32)
+    if nboxes:
+        # class lookup parity: unknown names → -1 (StaticHashTable default,
+        # load_tfrecords.py:89-91)
+        ids = np.asarray([class_to_id.get(n, -1) for n in names], np.float32) \
+            if class_to_id is not None else np.ones((nboxes,), np.float32)
+        labels[:nboxes, 0] = xmin
+        labels[:nboxes, 1] = ymin
+        labels[:nboxes, 2] = xmax
+        labels[:nboxes, 3] = ymax
+        labels[:nboxes, 4] = 1.0
+        if class_to_id is not None:
+            labels[:nboxes, 5] = ids
+    return img, labels
+
+
+def parse_tfrecords(tfrecords_dir: str, image_size: int, max_bboxes: int, class_file: str | None = None):
+    """Generator of (image, labels) over all records in a dir — the
+    reference's parse_tfrecords surface (load_tfrecords.py:77-101)."""
+    class_to_id = None
+    if class_file:
+        from ..config import read_class_names
+
+        class_to_id = {n: i for i, n in enumerate(read_class_names(class_file))}
+    for path in iter_tfrecord_files(tfrecords_dir):
+        for record in iter_tfrecord_records(path):
+            yield decode_detection_example(parse_example(record), image_size, max_bboxes, class_to_id)
