@@ -1,0 +1,18 @@
+#!/usr/bin/env python
+"""Darknet .weights converter CLI — surface parity with reference
+convert.py:140-170 (``--config utilities/convert_config.yaml``)."""
+
+import argparse
+
+import yaml
+
+from yolov3_tpu.apps.convert_app import convert
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default="utilities/convert_config.yaml",
+                        help="yaml config file")
+    args = parser.parse_args()
+    with open(args.config, "r") as stream:
+        convert_config = yaml.safe_load(stream)
+    convert(convert_config)

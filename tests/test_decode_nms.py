@@ -1,0 +1,74 @@
+import jax.numpy as jnp
+import numpy as np
+
+from yolov3_tpu.ops.decode import yolo_decode
+from yolov3_tpu.ops.nms import yolo_nms
+
+ANCHORS = np.array([[[0.2, 0.2], [0.4, 0.4], [0.8, 0.8]]], np.float32)
+
+
+def test_decode_inverts_target_transform():
+    """Construct logits for a known box → decode returns that box."""
+    g, nclasses = 13, 6
+    box = np.array([0.4, 0.4, 0.6, 0.6])  # center (.5,.5), wh (.2,.2)
+    row, col, a = int(0.5 * g), int(0.5 * g), 0
+    grid = np.zeros((1, g, g, 3, 5 + nclasses), np.float32)
+    ox, oy = 0.5 * g - col, 0.5 * g - row
+    grid[0, row, col, a, 0] = np.log(ox / (1 - ox))
+    grid[0, row, col, a, 1] = np.log(oy / (1 - oy))
+    grid[0, row, col, a, 2] = np.log(0.2 / ANCHORS[0, a, 0])
+    grid[0, row, col, a, 3] = np.log(0.2 / ANCHORS[0, a, 1])
+    grid[0, row, col, a, 4] = 10.0  # objectness ≈ 1
+
+    boxes, conf, probs = yolo_decode([jnp.asarray(grid)], ANCHORS, nclasses)
+    flat_idx = (row * g + col) * 3 + a
+    np.testing.assert_allclose(np.asarray(boxes)[0, flat_idx], box, atol=1e-6)
+    assert np.asarray(conf)[0, flat_idx, 0] > 0.99
+
+
+def _pack(boxes, scores, nclasses=3):
+    n = len(boxes)
+    conf = np.asarray(scores, np.float32).reshape(1, n, 1)
+    probs = np.zeros((1, n, nclasses), np.float32)
+    probs[0, :, 0] = 1.0
+    return jnp.asarray(np.asarray(boxes, np.float32)[None]), jnp.asarray(conf), jnp.asarray(probs)
+
+
+def test_nms_suppresses_overlaps():
+    boxes = [[0.1, 0.1, 0.5, 0.5], [0.12, 0.12, 0.52, 0.52], [0.6, 0.6, 0.9, 0.9]]
+    scores = [0.9, 0.8, 0.7]
+    b, c, p = _pack(boxes, scores)
+    _, _, _, sel, nv = yolo_nms(b, c, p, max_boxes=10, iou_threshold=0.5, score_threshold=0.0)
+    assert int(nv[0]) == 2
+    assert list(np.asarray(sel)[0][:2]) == [0, 2]
+
+
+def test_nms_score_threshold():
+    boxes = [[0.1, 0.1, 0.3, 0.3], [0.5, 0.5, 0.7, 0.7]]
+    scores = [0.9, 0.05]
+    b, c, p = _pack(boxes, scores)
+    _, _, _, sel, nv = yolo_nms(b, c, p, max_boxes=10, iou_threshold=0.5, score_threshold=0.1)
+    assert int(nv[0]) == 1 and int(np.asarray(sel)[0][0]) == 0
+
+
+def test_nms_max_boxes_cap():
+    rng = np.random.RandomState(0)
+    n = 50
+    xy = rng.rand(n, 2) * 0.9
+    boxes = np.concatenate([xy, xy + 0.05], axis=-1)  # disjoint-ish tiny boxes
+    scores = rng.rand(n) * 0.5 + 0.4
+    b, c, p = _pack(boxes.tolist(), scores.tolist())
+    _, _, _, sel, nv = yolo_nms(b, c, p, max_boxes=5, iou_threshold=0.5, score_threshold=0.0)
+    assert int(nv[0]) == 5
+
+
+def test_nms_score_is_conf_times_best_prob():
+    boxes = [[0.1, 0.1, 0.3, 0.3]]
+    conf = np.array([[[0.5]]], np.float32)
+    probs = np.array([[[0.2, 0.8, 0.1]]], np.float32)
+    _, cls, scores, sel, nv = yolo_nms(
+        jnp.asarray(np.asarray(boxes, np.float32)[None]), jnp.asarray(conf), jnp.asarray(probs),
+        max_boxes=5, iou_threshold=0.5, score_threshold=0.0,
+    )
+    assert int(np.asarray(cls)[0, 0]) == 1
+    np.testing.assert_allclose(np.asarray(scores)[0, 0], 0.4, rtol=1e-6)

@@ -1,0 +1,80 @@
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from yolov3_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from yolov3_tpu.io.darknet import load_darknet_weights, save_darknet_weights
+from yolov3_tpu.io.resolve import load_weights, save_weights
+from yolov3_tpu.models import parse_model_config, init_model, apply_model
+
+
+@pytest.fixture(scope="module")
+def tiny_spec(repo_root):
+    cwd = os.getcwd()
+    os.chdir(repo_root)
+    try:
+        return parse_model_config("config/models/yolov3_tiny/model.yaml", nclasses=3)
+    finally:
+        os.chdir(cwd)
+
+
+def test_npz_checkpoint_roundtrip(tmp_path, tiny_spec):
+    params, state = init_model(jax.random.PRNGKey(0), tiny_spec)
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, {"params": params, "bn_state": state}, step=7)
+    tree, step = load_checkpoint(path, like={"params": params, "bn_state": state})
+    assert step == 7
+    for a, b in zip(jax.tree.leaves(tree["params"]), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_darknet_roundtrip(tmp_path, tiny_spec):
+    params, state = init_model(jax.random.PRNGKey(5), tiny_spec)
+    # perturb BN state so the roundtrip is non-trivial
+    state = jax.tree.map(lambda x: x + 0.25, state)
+    path = str(tmp_path / "model.weights")
+    save_darknet_weights(tiny_spec, params, state, path)
+    params2, state2 = load_darknet_weights(tiny_spec, path)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(state2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_darknet_truncated_raises(tmp_path, tiny_spec):
+    params, state = init_model(jax.random.PRNGKey(5), tiny_spec)
+    path = str(tmp_path / "model.weights")
+    save_darknet_weights(tiny_spec, params, state, path)
+    data = open(path, "rb").read()
+    open(path, "wb").write(data[: len(data) // 2])
+    with pytest.raises(ValueError):
+        load_darknet_weights(tiny_spec, path)
+
+
+def test_save_load_weights_tf_style_path(tmp_path, tiny_spec):
+    """Config paths like 'foo.tf' get a native .npz beside them and load back."""
+    params, state = init_model(jax.random.PRNGKey(0), tiny_spec)
+    prefix = str(tmp_path / "yolov3_train_tiny.tf")
+    save_weights(tiny_spec, params, state, prefix)
+    assert os.path.exists(prefix + ".npz")
+    p2, s2 = init_model(jax.random.PRNGKey(9), tiny_spec)
+    p2, s2 = load_weights(tiny_spec, p2, s2, prefix)
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_converted_weights_forward_consistency(tmp_path, tiny_spec):
+    """convert → save → load → forward produces identical outputs."""
+    import jax.numpy as jnp
+
+    params, state = init_model(jax.random.PRNGKey(5), tiny_spec)
+    path = str(tmp_path / "model.weights")
+    save_darknet_weights(tiny_spec, params, state, path)
+    params2, state2 = load_darknet_weights(tiny_spec, path)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3))
+    a, _ = apply_model(tiny_spec, params, state, x)
+    b, _ = apply_model(tiny_spec, params2, state2, x)
+    for u, v in zip(a, b):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), rtol=1e-6)

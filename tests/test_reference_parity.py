@@ -1,0 +1,193 @@
+"""Golden parity tests against the TF2 reference implementation.
+
+These run only when the reference mount (/root/reference) and tensorflow
+are both available; they pin our math to the reference's observable
+behavior (SURVEY §6 functional baselines).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from .conftest import REFERENCE, has_reference, has_tf
+
+pytestmark = pytest.mark.skipif(
+    not (has_reference() and has_tf()), reason="reference mount or TF unavailable"
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def ref_path():
+    sys.path.insert(0, REFERENCE)
+    cwd = os.getcwd()
+    os.chdir(REFERENCE)
+    yield
+    os.chdir(cwd)
+    sys.path.remove(REFERENCE)
+
+
+def _rand_labels(rng, b=4, m=20, nclasses=7):
+    labels = np.zeros((b, m, 6), np.float32)
+    for i in range(b):
+        n = rng.randint(1, 8)
+        xy = rng.rand(n, 2) * 0.6
+        wh = rng.rand(n, 2) * 0.35 + 0.02
+        labels[i, :n, 0:2] = xy
+        labels[i, :n, 2:4] = np.clip(xy + wh, 0, 0.999)
+        labels[i, :n, 4] = 1
+        labels[i, :n, 5] = rng.randint(0, nclasses, n)
+    return labels
+
+
+ANCHORS = np.array(
+    [[0.05, 0.06], [0.1, 0.12], [0.2, 0.18],
+     [0.3, 0.28], [0.38, 0.4], [0.5, 0.45],
+     [0.6, 0.62], [0.75, 0.7], [0.9, 0.88]], np.float32).reshape(3, 3, 2)
+
+
+def test_assigner_bit_exact_vs_reference():
+    import tensorflow as tf
+    import jax.numpy as jnp
+    from core.preprocess_dataset import PreprocessDataset
+    from yolov3_tpu.ops.assign import assign_targets
+
+    rng = np.random.RandomState(3)
+    labels = _rand_labels(rng)
+    grid_sizes = [13, 26, 52]
+    pp = PreprocessDataset()
+    ref = [
+        pp._arrange_in_grid(tf.constant(labels), tf.convert_to_tensor(ANCHORS), g,
+                            [labels.shape[0], gs, gs, 3, 6], labels.shape[1]).numpy()
+        for g, gs in enumerate(grid_sizes)
+    ]
+    ours = assign_targets(jnp.asarray(labels), ANCHORS, grid_sizes)
+    for r, o in zip(ref, ours):
+        np.testing.assert_array_equal(r, np.asarray(o))
+
+
+def test_loss_matches_reference():
+    import tensorflow as tf
+    import jax.numpy as jnp
+    from core.loss_func import get_loss_func
+    from core.preprocess_dataset import PreprocessDataset
+    from yolov3_tpu.ops.loss import yolo_loss_terms
+
+    rng = np.random.RandomState(3)
+    labels = _rand_labels(rng)
+    nclasses = 7
+    pp = PreprocessDataset()
+    for g, gs in enumerate([13, 26]):
+        y_true = pp._arrange_in_grid(
+            tf.constant(labels), tf.convert_to_tensor(ANCHORS), g,
+            [labels.shape[0], gs, gs, 3, 6], labels.shape[1]).numpy()
+        y_pred = (rng.randn(labels.shape[0], gs, gs, 3, 5 + nclasses) * 0.5).astype(np.float32)
+        ref = get_loss_func(tf.convert_to_tensor(ANCHORS[g]), nclasses,
+                            tf.constant(True))(tf.constant(y_true), tf.constant(y_pred)).numpy()
+        ours = np.asarray(yolo_loss_terms(jnp.asarray(y_true), jnp.asarray(y_pred),
+                                          ANCHORS[g], nclasses))
+        np.testing.assert_allclose(ours, ref, rtol=5e-5)
+
+
+def test_decode_matches_reference():
+    import tensorflow as tf
+    import jax.numpy as jnp
+    from core.yolo_decode_layer import yolo_decode as ref_decode
+    from yolov3_tpu.ops.decode import yolo_decode
+
+    rng = np.random.RandomState(0)
+    nclasses = 7
+    grids = [rng.randn(2, g, g, 3, 5 + nclasses).astype(np.float32) for g in (13, 26, 52)]
+    rb, rc, rp = ref_decode([tf.constant(g) for g in grids], tf.constant(ANCHORS), nclasses)
+    ob, oc, op = yolo_decode([jnp.asarray(g) for g in grids], ANCHORS, nclasses)
+    np.testing.assert_allclose(rb.numpy(), np.asarray(ob), atol=1e-4)
+    np.testing.assert_allclose(rc.numpy(), np.asarray(oc), atol=1e-5)
+    np.testing.assert_allclose(rp.numpy(), np.asarray(op), atol=1e-5)
+
+
+def test_nms_selected_indices_match_tf():
+    import tensorflow as tf
+    import jax.numpy as jnp
+    from yolov3_tpu.ops.nms import yolo_nms
+
+    rng = np.random.RandomState(0)
+    B, N, nclasses = 3, 400, 7
+    xy = rng.rand(B, N, 2) * 0.8
+    wh = rng.rand(B, N, 2) * 0.2 + 0.02
+    boxes = np.concatenate([xy, xy + wh], axis=-1).astype(np.float32)
+    conf = rng.rand(B, N, 1).astype(np.float32)
+    probs = rng.rand(B, N, nclasses).astype(np.float32)
+
+    scores = (conf[..., 0] * probs.max(-1)).astype(np.float32)
+    sel_ref, nv_ref = tf.image.non_max_suppression_padded(
+        boxes=tf.constant(boxes), scores=tf.constant(scores),
+        max_output_size=100, iou_threshold=0.5, score_threshold=0.3,
+        pad_to_max_output_size=True)
+    _, _, _, sel, nv = yolo_nms(jnp.asarray(boxes), jnp.asarray(conf), jnp.asarray(probs),
+                                max_boxes=100, iou_threshold=0.5, score_threshold=0.3)
+    np.testing.assert_array_equal(nv_ref.numpy(), np.asarray(nv))
+    for b in range(B):
+        np.testing.assert_array_equal(
+            sel_ref.numpy()[b][: nv_ref.numpy()[b]], np.asarray(sel)[b][: int(nv[b])]
+        )
+
+
+def test_forward_parity_tiny():
+    """Full-model forward parity vs the reference Keras graph (weights
+    copied across) — conv stacking tolerance covers oneDNN round-off."""
+    import tensorflow as tf
+    import yaml
+    import jax
+    import jax.numpy as jnp
+    from tensorflow.keras import Input
+    from core.parse_model import ParseModel
+    from yolov3_tpu.models import parse_model_config, init_model, apply_model
+
+    cfg = "config/models/yolov3_tiny/model.yaml"
+    with open(cfg) as f:
+        mc = yaml.safe_load(f)
+    ref = ParseModel().build_model(Input(shape=(None, None, 3)), nclasses=7, **mc)
+
+    def idx_of(name, prefix):
+        rest = name[len(prefix):]
+        return 0 if rest == "" else int(rest[1:])
+
+    convs, bns = [], []
+    for lyr in ref.layers:
+        if hasattr(lyr, "layers"):
+            for l2 in lyr.layers:
+                if l2.name.startswith("conv2d"):
+                    convs.append(l2)
+                if l2.name.startswith("batch_normalization"):
+                    bns.append(l2)
+    convs.sort(key=lambda l: idx_of(l.name, "conv2d"))
+    bns.sort(key=lambda l: idx_of(l.name, "batch_normalization"))
+
+    spec = parse_model_config(cfg, nclasses=7)
+    params, state = init_model(jax.random.PRNGKey(0), spec)
+    ci = bi = 0
+    for sm in spec.sub_models:
+        for i, layer in enumerate(sm.layers):
+            if layer.kind != "convolutional":
+                continue
+            entry = params[sm.name][f"layer{i}"]
+            kl = convs[ci]; ci += 1
+            entry["kernel"] = jnp.asarray(kl.kernel.numpy())
+            if "bn" in entry:
+                bl = bns[bi]; bi += 1
+                entry["bn"]["gamma"] = jnp.asarray(bl.gamma.numpy())
+                entry["bn"]["beta"] = jnp.asarray(bl.beta.numpy())
+                state[sm.name][f"layer{i}"]["mean"] = jnp.asarray(bl.moving_mean.numpy())
+                state[sm.name][f"layer{i}"]["var"] = jnp.asarray(bl.moving_variance.numpy())
+            else:
+                entry["bias"] = jnp.asarray(kl.bias.numpy())
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 416, 416, 3).astype(np.float32)
+    ref_outs = ref(x, training=False)
+    outs, _ = apply_model(spec, params, state, jnp.asarray(x))
+    for ro, jo in zip(ref_outs, outs):
+        ro, jo = np.asarray(ro), np.asarray(jo)
+        rel = np.abs(ro - jo).max() / (np.abs(ro).max() + 1e-9)
+        assert rel < 3e-2, f"forward rel diff {rel}"

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Generate a standalone toy shapes detection dataset (fixtures).
+
+Produces, under ``datasets/shapes_toy/``:
+  * class.names (3 shape classes)
+  * anchors/anchors.txt (9) + anchors_tiny.txt (6)
+  * tfrecords/{train,val,test}/file_00.tfrec — JPEG images + boxes in the
+    reference feature schema;
+  * coco/{images/*.jpg, annotations.json} — the data_files/COCO-JSON mode.
+
+Deterministic (seeded); used by tests and the bundled run configs.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from yolov3_tpu.data.tfrecord import encode_example, write_tfrecord  # noqa: E402
+
+CLASSES = ["circle", "square", "triangle"]
+IMG_SIZE = 256
+
+
+def draw_example(rng):
+    from PIL import Image, ImageDraw
+
+    img = Image.new("RGB", (IMG_SIZE, IMG_SIZE), (20, 24, 28))
+    draw = ImageDraw.Draw(img)
+    n = rng.randint(1, 4)
+    boxes, classes = [], []
+    for _ in range(n):
+        cls = rng.randint(len(CLASSES))
+        size = rng.randint(40, 100)
+        x0 = rng.randint(0, IMG_SIZE - size)
+        y0 = rng.randint(0, IMG_SIZE - size)
+        x1, y1 = x0 + size, y0 + size
+        color = tuple(int(c) for c in rng.randint(90, 255, 3))
+        if cls == 0:
+            draw.ellipse([x0, y0, x1, y1], fill=color)
+        elif cls == 1:
+            draw.rectangle([x0, y0, x1, y1], fill=color)
+        else:
+            draw.polygon([(x0, y1), (x1, y1), ((x0 + x1) // 2, y0)], fill=color)
+        boxes.append([x0 / IMG_SIZE, y0 / IMG_SIZE, x1 / IMG_SIZE, y1 / IMG_SIZE])
+        classes.append(cls)
+    return img, boxes, classes
+
+
+def jpeg_bytes(img):
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=95)
+    return buf.getvalue()
+
+
+def main(root="datasets/shapes_toy", n_train=32, n_val=16, n_test=8, seed=7):
+    rng = np.random.RandomState(seed)
+    os.makedirs(f"{root}/anchors", exist_ok=True)
+    with open(f"{root}/class.names", "w") as f:
+        f.write("\n".join(CLASSES) + "\n")
+
+    anchors9 = np.array(
+        [[0.17, 0.17], [0.20, 0.20], [0.24, 0.24],
+         [0.28, 0.28], [0.31, 0.31], [0.34, 0.34],
+         [0.36, 0.36], [0.38, 0.38], [0.40, 0.40]], np.float32)
+    np.savetxt(f"{root}/anchors/anchors.txt", anchors9, delimiter=",")
+    np.savetxt(f"{root}/anchors/anchors_tiny.txt", anchors9[::2][:6], delimiter=",")
+
+    coco = {"images": [], "annotations": [], "categories":
+            [{"id": 10 + i, "name": n} for i, n in enumerate(CLASSES)]}
+    ann_id = 0
+    os.makedirs(f"{root}/coco/images", exist_ok=True)
+
+    for split, count in (("train", n_train), ("val", n_val), ("test", n_test)):
+        os.makedirs(f"{root}/tfrecords/{split}", exist_ok=True)
+        records = []
+        for i in range(count):
+            img, boxes, classes = draw_example(rng)
+            encoded = jpeg_bytes(img)
+            boxes_arr = np.asarray(boxes, np.float32)
+            records.append(encode_example({
+                "image/encoded": [encoded],
+                "image/object/class/text": [CLASSES[c] for c in classes],
+                "image/object/bbox/xmin": boxes_arr[:, 0].tolist(),
+                "image/object/bbox/ymin": boxes_arr[:, 1].tolist(),
+                "image/object/bbox/xmax": boxes_arr[:, 2].tolist(),
+                "image/object/bbox/ymax": boxes_arr[:, 3].tolist(),
+            }))
+            if split == "train":
+                fname = f"img_{i:03d}.jpg"
+                with open(f"{root}/coco/images/{fname}", "wb") as f:
+                    f.write(encoded)
+                img_id = i
+                coco["images"].append({"id": img_id, "file_name": fname,
+                                       "width": IMG_SIZE, "height": IMG_SIZE})
+                for box, c in zip(boxes, classes):
+                    x0, y0, x1, y1 = (np.asarray(box) * IMG_SIZE).tolist()
+                    coco["annotations"].append({
+                        "id": ann_id, "image_id": img_id, "category_id": 10 + c,
+                        "bbox": [x0, y0, x1 - x0, y1 - y0],
+                        "area": (x1 - x0) * (y1 - y0), "iscrowd": 0,
+                    })
+                    ann_id += 1
+        write_tfrecord(f"{root}/tfrecords/{split}/file_00.tfrec", records)
+
+    with open(f"{root}/coco/annotations.json", "w") as f:
+        json.dump(coco, f)
+    print(f"toy dataset written under {root}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])

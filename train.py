@@ -1,0 +1,19 @@
+#!/usr/bin/env python
+"""Train CLI — surface parity with reference train.py:220-232:
+``python train.py --config config/train_config.yaml`` (YAML **splatted
+into the Train app)."""
+
+import argparse
+
+import yaml
+
+from yolov3_tpu.apps.train_app import Train
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default="config/train_config.yaml",
+                        help="yaml config file")
+    args = parser.parse_args()
+    with open(args.config, "r") as stream:
+        train_config = yaml.safe_load(stream)
+    Train()(**train_config)

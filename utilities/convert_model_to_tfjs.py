@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Browser (TFJS) export — reference utilities/convert_model_to_tfjs.py analog.
+
+The reference shells out to ``tensorflowjs_converter`` on a Keras
+SavedModel. Here the JAX model is exported through ``jax2tf`` into a TF
+SavedModel first, then (if the tensorflowjs CLI is installed) converted to
+TFJS graph-model format with the reference's L2→L1L2 regularizer-name
+patch applied to model.json. Both tensorflow and tensorflowjs are gated:
+the command degrades to clear instructions when missing.
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def export_saved_model(model_config_file, weights_path, classes_name_file, image_size, out_dir):
+    import jax
+    import jax.numpy as jnp
+
+    from yolov3_tpu.config import count_file_lines
+    from yolov3_tpu.models import parse_model_config, init_model, apply_model, fold_batch_norm
+    from yolov3_tpu.io.resolve import load_weights
+
+    nclasses = count_file_lines(classes_name_file)
+    spec = parse_model_config(model_config_file, nclasses)
+    params, state = init_model(jax.random.PRNGKey(0), spec)
+    params, state = load_weights(spec, params, state, weights_path)
+    folded = fold_batch_norm(params, state)
+
+    try:
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+    except ImportError as e:
+        raise SystemExit(f"SavedModel export requires tensorflow + jax2tf: {e}")
+
+    def fwd(images):
+        outs, _ = apply_model(spec, folded, {}, images, train=False)
+        return tuple(outs)
+
+    tf_fn = tf.function(
+        jax2tf.convert(fwd, with_gradient=False),
+        input_signature=[tf.TensorSpec((1, image_size, image_size, 3), tf.float32)],
+        autograph=False,
+    )
+    module = tf.Module()
+    module.__call__ = tf_fn
+    tf.saved_model.save(module, out_dir)
+    print(f"SavedModel written to {out_dir}")
+    return out_dir
+
+
+def patch_model_json(tfjs_dir):
+    """Reference patch: '"L2"' → '"L1L2"' regularizer class name."""
+    path = os.path.join(tfjs_dir, "model.json")
+    if not os.path.exists(path):
+        return
+    with open(path) as f:
+        content = f.read()
+    with open(path, "w") as f:
+        f.write(content.replace('"L2"', '"L1L2"'))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_config_file", required=True)
+    parser.add_argument("--weights_path", required=True)
+    parser.add_argument("--classes_name_file", required=True)
+    parser.add_argument("--image_size", type=int, default=416)
+    parser.add_argument("--saved_model_dir", default="/tmp/yolov3_saved_model")
+    parser.add_argument("--tfjs_out_dir", default="/tmp/yolov3_tfjs")
+    args = parser.parse_args()
+
+    export_saved_model(args.model_config_file, args.weights_path,
+                       args.classes_name_file, args.image_size, args.saved_model_dir)
+
+    converter = shutil.which("tensorflowjs_converter")
+    if not converter:
+        print("tensorflowjs_converter not installed — SavedModel export done; "
+              "run the converter on another machine:")
+        print(f"  tensorflowjs_converter --input_format=tf_saved_model "
+              f"{args.saved_model_dir} {args.tfjs_out_dir}")
+        return
+    subprocess.run([converter, "--input_format=tf_saved_model",
+                    args.saved_model_dir, args.tfjs_out_dir], check=True)
+    patch_model_json(args.tfjs_out_dir)
+    print(f"TFJS model written to {args.tfjs_out_dir}")
+
+
+if __name__ == "__main__":
+    main()

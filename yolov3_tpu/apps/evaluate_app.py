@@ -1,0 +1,153 @@
+"""Evaluation application — the reference evaluate_yolov3.py capability,
+rebuilt working (the reference file has bit-rotted imports and cannot run
+as-is — SURVEY §2).
+
+Reads evaluate_config.yaml (nms score-threshold sweep) + detect_config.yaml
+(model/dataset/NMS params). For each threshold: batched prediction, padded
+ragged-free matching, per-class recall/precision, per-image histograms
+saved as .npy (tp_<thr>.npy etc.), plus an overall 'oneclass' run with
+classes zeroed (bbox-only quality).
+
+TPU-native: the score/IoU thresholds are *traced scalars*, so the whole
+sweep reuses ONE compiled forward+decode+NMS program (the reference
+rebuilds the Keras model per threshold, evaluate_yolov3.py:181-186).
+Extension: reports true mAP@0.5 (APAccumulator), which the reference lacks.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import get_anchors, read_class_names
+from ..data.image import letterbox_resize
+from ..data.tfrecord import parse_tfrecords
+from ..eval.detections_evaluator import APAccumulator, EvaluateDetections
+from ..io.resolve import load_weights
+from ..models import parse_model_config, init_model, apply_model, fold_batch_norm
+from ..ops.decode import yolo_decode
+from ..ops.nms import yolo_nms
+
+log = logging.getLogger(__name__)
+
+
+def make_sweepable_predictor(spec, params, bn_state, anchors_table, nclasses, yolo_max_boxes):
+    run_params = fold_batch_norm(params, bn_state)
+    anchors = jnp.asarray(anchors_table, jnp.float32)
+
+    @jax.jit
+    def predict(images, iou_threshold, score_threshold):
+        outputs, _ = apply_model(spec, run_params, {}, images, train=False)
+        boxes, conf, probs = yolo_decode(outputs, anchors, nclasses)
+        return yolo_nms(boxes, conf, probs, max_boxes=yolo_max_boxes,
+                        iou_threshold=iou_threshold, score_threshold=score_threshold)
+
+    return predict
+
+
+def _selected_to_padded(bboxes, class_idx, scores, selected, num_valid, max_boxes):
+    """NMS outputs → fixed (max_boxes,) padded preds + valid mask, batched."""
+    b = bboxes.shape[0]
+    pred_boxes = np.take_along_axis(bboxes, selected[..., None], axis=1)
+    pred_classes = np.take_along_axis(class_idx, selected, axis=1)
+    pred_scores = np.take_along_axis(scores, selected, axis=1)
+    valid = np.arange(max_boxes)[None, :] < num_valid[:, None]
+    return pred_boxes, pred_classes, pred_scores, valid
+
+
+def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
+             evaluate_iou_threshold: float = 0.5, compute_map: bool = True):
+    thresholds = evaluate_config["evaluate_nms_score_thresholds"]
+
+    anchors_table = get_anchors(detect_config["anchors_file"])
+    class_names = read_class_names(detect_config["classes_name_file"])
+    nclasses = len(class_names)
+    image_size = detect_config["image_size"]
+    batch_size = detect_config["batch_size"]
+    yolo_max_boxes = detect_config["yolo_max_boxes"]
+    nms_iou_threshold = detect_config["nms_iou_threshold"]
+
+    spec = parse_model_config(detect_config["model_config_file"], nclasses)
+    params, bn_state = init_model(jax.random.PRNGKey(0), spec)
+    params, bn_state = load_weights(spec, params, bn_state, detect_config["input_weights_path"])
+
+    predict = make_sweepable_predictor(spec, params, bn_state, anchors_table,
+                                       nclasses, yolo_max_boxes)
+
+    # dataset: tfrecords, letterboxed, gt kept padded + masked (fixed shapes)
+    def batches():
+        images, labels = [], []
+        count = 0
+        for img, lab in parse_tfrecords(detect_config["tfrecords_dir"], image_size,
+                                        yolo_max_boxes, detect_config["classes_name_file"]):
+            images.append(letterbox_resize(img, image_size, image_size))
+            labels.append(lab)
+            count += 1
+            if len(images) == batch_size:
+                yield np.stack(images), np.stack(labels)
+                images, labels = [], []
+            if max_eval_images and count >= max_eval_images:
+                break
+        if images:
+            pad = batch_size - len(images)
+            yield (
+                np.stack(images + [np.zeros_like(images[0])] * pad),
+                np.stack(labels + [np.zeros_like(labels[0])] * pad),
+            )
+
+    results = []
+    for score_threshold in thresholds:
+        evaluator = EvaluateDetections(nclasses, evaluate_iou_threshold)
+        evaluator_oneclass = EvaluateDetections(nclasses, evaluate_iou_threshold)
+        ap_acc = APAccumulator(nclasses, evaluate_iou_threshold) if compute_map else None
+
+        for images, labels in batches():
+            out = predict(jnp.asarray(images), jnp.float32(nms_iou_threshold),
+                          jnp.float32(score_threshold))
+            bboxes, class_idx, scores, selected, num_valid = map(np.asarray, out)
+            pb, pc, ps, pv = _selected_to_padded(
+                bboxes, class_idx, scores, selected, num_valid, yolo_max_boxes
+            )
+            gt_boxes = labels[..., 0:4]
+            gt_classes = labels[..., 5].astype(np.int32)
+            gt_valid = labels[..., 4] != 0
+            # drop all-padding tail images (empty gt ⇒ not a real image here)
+            real = gt_valid.any(axis=1) | pv.any(axis=1)
+            evaluator.evaluate_batch(pb[real], pc[real], pv[real],
+                                     gt_boxes[real], gt_classes[real], gt_valid[real])
+            evaluator_oneclass.evaluate_batch(
+                pb[real], np.zeros_like(pc[real]), pv[real],
+                gt_boxes[real], np.zeros_like(gt_classes[real]), gt_valid[real],
+            )
+            if ap_acc is not None:
+                for i in np.where(real)[0]:
+                    ap_acc.add_image(pb[i][pv[i]], pc[i][pv[i]], ps[i][pv[i]],
+                                     gt_boxes[i][gt_valid[i]], gt_classes[i][gt_valid[i]])
+
+        recall, precision = evaluator.recall_precision()
+        print("Results Bbox and Classes:")
+        for k, v in evaluator.counters.items():
+            print(f" {k}: {v}", end="")
+        print("\nResults Bbox Only (Single Class):")
+        for k, v in evaluator_oneclass.counters.items():
+            print(f" {k}: {v}", end="")
+        print(f"\nrecall: {recall}, precision: {precision}")
+        entry = {"score_threshold": score_threshold, "recall": recall, "precision": precision}
+        if ap_acc is not None:
+            aps, mean_ap = ap_acc.compute()
+            print(f"mAP@0.5: {mean_ap:.4f}")
+            entry["ap_per_class"] = aps
+            entry["map50"] = mean_ap
+        results.append(entry)
+
+        np.save(f"preds_{score_threshold}", np.stack(evaluator.preds_histo))
+        np.save(f"gts_{score_threshold}", np.stack(evaluator.gt_histo))
+        np.save(f"tp_{score_threshold}", np.stack(evaluator.tp_histo))
+        np.save(f"fp_{score_threshold}", np.stack(evaluator.fp_histo))
+        np.save(f"fn_{score_threshold}", np.stack(evaluator.fn_histo))
+
+    print([(r["recall"], r["precision"]) for r in results])
+    return results

@@ -1,0 +1,192 @@
+"""Inference application — the reference inference.py surface.
+
+Accepts the detect_config.yaml schema. The inference pipeline is ONE jit:
+BN-folded bf16-optional forward + decode + NMS, compiled per (batch,
+image_size). Outputs: annotated detect_<i>.jpg images + a detect.txt line
+per image (reference inference.py:38-50), same tuple format.
+
+Parity notes:
+  * tfrecords mode letterboxes (inference.py:119-123); image_file /
+    images_dir mode uses plain square resize (:148-158) — the reference's
+    inconsistency is preserved deliberately.
+  * detect_<i>.jpg uses a global image counter (the reference resets the
+    index per batch, silently overwriting files — SURVEY §2 quirk; fixed).
+  * save_model_path exports a native .npz weights bundle instead of a TF
+    SavedModel (TFJS export path: utilities/convert_model_to_tfjs.py).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import get_anchors, read_class_names, dir_filelist
+from ..data.image import decode_image, letterbox_resize, resize_bilinear
+from ..data.tfrecord import parse_tfrecords
+from ..models import parse_model_config, init_model, apply_model, fold_batch_norm
+from ..io.resolve import load_weights, save_weights
+from ..ops.decode import yolo_decode
+from ..ops.nms import yolo_nms
+from ..utils.render import render_text_annotated_bboxes
+
+log = logging.getLogger(__name__)
+
+
+def make_predictor(spec, params, bn_state, anchors_table, nclasses,
+                   yolo_max_boxes, nms_iou_threshold, nms_score_threshold,
+                   fold_bn: bool = True, compute_dtype=None):
+    """Build the fused forward+decode+NMS jitted function."""
+    run_params = fold_batch_norm(params, bn_state) if fold_bn else params
+    run_state = {} if fold_bn else bn_state
+    if compute_dtype is not None:
+        run_params = jax.tree.map(lambda x: x.astype(compute_dtype), run_params)
+    anchors = jnp.asarray(anchors_table, jnp.float32)
+
+    @jax.jit
+    def predict(images):
+        if compute_dtype is not None:
+            images = images.astype(compute_dtype)
+        outputs, _ = apply_model(spec, run_params, run_state, images, train=False)
+        boxes, conf, probs = yolo_decode(outputs, anchors, nclasses)
+        return yolo_nms(
+            boxes, conf, probs,
+            max_boxes=yolo_max_boxes,
+            iou_threshold=nms_iou_threshold,
+            score_threshold=nms_score_threshold,
+        )
+
+    return predict
+
+
+def gather_valid_detections(bboxes, class_indices, scores, selected, num_valid):
+    """reference inference.py:21-28."""
+    sel = selected[: int(num_valid)]
+    return bboxes[sel], class_indices[sel], scores[sel]
+
+
+class Inference:
+    def __call__(
+        self,
+        model_config_file,
+        classes_name_file,
+        anchors_file,
+        input_weights_path,
+        image_size,
+        input_data_source,
+        images_dir,
+        tfrecords_dir,
+        batch_size,
+        image_file_path,
+        output_dir,
+        yolo_max_boxes,
+        nms_iou_threshold,
+        nms_score_threshold,
+        bbox_color,
+        font_size,
+        display_result_images=None,
+        save_model_path=None,
+        **kwargs,
+    ):
+        os.makedirs(output_dir, exist_ok=True)
+        detect_txt = f"{output_dir}/detect.txt"
+        if os.path.exists(detect_txt):
+            os.remove(detect_txt)
+        outfile = open(detect_txt, "a")
+
+        anchors_table = get_anchors(anchors_file)
+        class_names = [c.strip() for c in open(classes_name_file).readlines()]
+        nclasses = len(class_names)
+
+        spec = parse_model_config(model_config_file, nclasses)
+        params, bn_state = init_model(jax.random.PRNGKey(0), spec)
+
+        with open("model_inference_summary.txt", "w") as f:
+            from .train_app import model_summary
+
+            f.write(model_summary(spec, params) + "\n")
+
+        params, bn_state = load_weights(spec, params, bn_state, input_weights_path)
+        print("weights loaded")
+
+        if save_model_path:
+            print(f"Saving weights loaded model to {save_model_path}: (configurable)")
+            save_weights(spec, params, bn_state, os.path.join(save_model_path, "model"))
+
+        predict = make_predictor(
+            spec, params, bn_state, anchors_table, nclasses,
+            yolo_max_boxes, nms_iou_threshold, nms_score_threshold,
+        )
+
+        image_counter = 0
+        results = []
+
+        def process(batch_images, raw_sizes=None):
+            nonlocal image_counter
+            out = predict(jnp.asarray(batch_images))
+            bboxes, class_idx, scores, selected, num_valid = map(np.asarray, out)
+            for i in range(len(batch_images)):
+                bb, cc, ss = gather_valid_detections(
+                    bboxes[i], class_idx[i], scores[i], selected[i], num_valid[i]
+                )
+                names = [class_names[int(c)] for c in cc]
+                annotated, detections = render_text_annotated_bboxes(
+                    batch_images[i], bb, names, ss, bbox_color, font_size
+                )
+                if raw_sizes is not None:
+                    annotated = annotated.resize(raw_sizes[i])
+                outfile.write(f"{detections}\n")
+                outfile.flush()
+                annotated.save(f"{output_dir}/detect_{image_counter}.jpg")
+                image_counter += 1
+                results.append((names, bb, ss))
+
+        if input_data_source == "tfrecords":
+            batch = []
+            for img, _ in parse_tfrecords(tfrecords_dir, image_size, yolo_max_boxes, None):
+                batch.append(letterbox_resize(img, image_size, image_size))
+                if len(batch) == batch_size:
+                    process(np.stack(batch))
+                    batch = []
+            if batch:  # pad the tail to the compiled batch size, slice after
+                pad = batch_size - len(batch)
+                padded = np.stack(batch + [np.zeros_like(batch[0])] * pad)
+                out = predict(jnp.asarray(padded))
+                bboxes, class_idx, scores, selected, num_valid = map(np.asarray, out)
+                for i in range(len(batch)):
+                    bb, cc, ss = gather_valid_detections(
+                        bboxes[i], class_idx[i], scores[i], selected[i], num_valid[i]
+                    )
+                    names = [class_names[int(c)] for c in cc]
+                    annotated, detections = render_text_annotated_bboxes(
+                        batch[i], bb, names, ss, bbox_color, font_size
+                    )
+                    outfile.write(f"{detections}\n")
+                    outfile.flush()
+                    annotated.save(f"{output_dir}/detect_{image_counter}.jpg")
+                    image_counter += 1
+                    results.append((names, bb, ss))
+        else:
+            if input_data_source == "image_file":
+                filenames = [image_file_path]
+            elif input_data_source == "images_dir":
+                filenames = dir_filelist(images_dir, (".jpeg", ".jpg", ".png", ".bmp"))
+            else:
+                filenames = []
+
+            for file in filenames:
+                with open(file, "rb") as f:
+                    orig = decode_image(f.read()).astype(np.float32) / 255.0
+                image = resize_bilinear(orig, image_size, image_size)
+                process(image[None], raw_sizes=[(orig.shape[1], orig.shape[0])])
+
+        outfile.close()
+        if results:
+            names, bb, ss = results[-1]
+            for class_name, box, score in zip(names, bb, ss):
+                print(f"{class_name} bbox: {box} score: {score}")
+        return results

@@ -1,0 +1,204 @@
+"""Train application — the reference train.py surface on the TPU stack.
+
+Accepts the exact train_config.yaml schema (**splatted kwargs, reference
+train.py:106-126) and reproduces the observable behavior: model summary
+dump, transfer-learning dispatch, per-batch loss logging (total / per-grid
+/ per-source / per-grid-per-source), periodic weight saving, a validation
+pass per epoch, and early stopping on val_loss with best-weights restore.
+
+TPU-native differences (by design, documented):
+  * training_mode eager_tf/fit/eager_fit all run the same jitted SPMD train
+    step — the distinction is TF execution machinery; the value is accepted
+    for config compatibility and only affects logging verbosity.
+  * Data parallelism over all visible devices via a 1-D mesh whenever the
+    batch size is divisible by the device count.
+  * Checkpoints are native .npz pytrees (optimizer state optional); legacy
+    Keras TF-format checkpoints load transparently.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import count_file_lines, get_anchors, load_yaml
+from ..data.pipeline import Batcher, DevicePrefetcher, create_dataset
+from ..models import parse_model_config, init_model, apply_model
+from ..models.network import head_grid_sizes, param_count
+from ..models.transfer import do_transfer_learning
+from ..parallel.mesh import batch_sharding, make_mesh
+from ..parallel.train_step import init_train_state, make_adam, make_eval_step, make_train_step
+from ..io.resolve import load_weights, save_weights
+
+log = logging.getLogger(__name__)
+
+
+def model_summary(spec, params) -> str:
+    lines = [f'Model "{spec.output_stage}-staged" — {len(spec.sub_models)} sub-models']
+    total = 0
+    for sm in spec.sub_models:
+        n = param_count(params.get(sm.name, {}))
+        total += n
+        lines.append(f"  {sm.name}: {len(sm.layers)} layers, {n:,} params")
+    lines.append(f"Total params: {total:,}")
+    return "\n".join(lines)
+
+
+class Train:
+    def __call__(
+        self,
+        model_config_file,
+        image_size,
+        batch_size,
+        max_bboxes,
+        debug_mode,
+        anchors_file,
+        learning_rate,
+        early_stop_patience,
+        epochs,
+        training_mode,
+        render_dataset_example,
+        max_dataset_examples,
+        transfer_learning_config,
+        dataset_config,
+        classes_name_file,
+        output_checkpoints_path,
+        early_stopping,
+        weights_save_peroid,
+        **kwargs,
+    ):
+        logging.getLogger().setLevel(logging.INFO)
+
+        anchors_table = get_anchors(anchors_file)
+        nclasses = count_file_lines(classes_name_file)
+
+        spec = parse_model_config(model_config_file, nclasses)
+        params, bn_state = init_model(jax.random.PRNGKey(kwargs.get("seed", 0)), spec)
+
+        with open("model_summary.txt", "w") as f:
+            f.write(model_summary(spec, params) + "\n")
+
+        # --- transfer learning dispatch (reference train.py:160-166) ---
+        trainable_mask = None
+        bn_frozen = ()
+        tlc = transfer_learning_config
+        if tlc and tlc.get("transfer_list"):
+            tl = tlc["transfer_list"]
+            if "all" in tl:
+                params, bn_state = load_weights(spec, params, bn_state, tlc["input_weights_path"])
+            elif "none" not in tl:
+                def load_fn(output_stage):
+                    ref_spec = spec.with_output_stage(output_stage)
+                    rp, rs = init_model(jax.random.PRNGKey(0), ref_spec)
+                    return load_weights(ref_spec, rp, rs, tlc["input_weights_path"])
+
+                params, bn_state, trainable_mask, bn_frozen = do_transfer_learning(
+                    spec, params, bn_state, tlc, load_fn
+                )
+            else:
+                # 'none' still honors freeze lists
+                from ..models.transfer import bn_frozen_selectors, trainable_mask as tmask
+
+                trainable_mask = tmask(params, tlc.get("freeze_train_list"))
+                bn_frozen = bn_frozen_selectors(tlc.get("batch_norm_freeze_list"))
+
+        optimizer = make_adam(learning_rate)
+        grid_sizes = head_grid_sizes(spec, image_size)
+
+        dataset, dataset_size = create_dataset(
+            dataset_config, image_size, max_bboxes, classes_name_file, max_dataset_examples
+        )
+        if 0 < min(s for s in dataset_size if s is not None) < batch_size:
+            raise ValueError("Dataset size less than batch size!")
+        ds_train, ds_val = dataset
+
+        # --- mesh: data-parallel over all devices when batch divides ---
+        ndev = jax.device_count()
+        mesh = None
+        if ndev > 1 and batch_size % ndev == 0:
+            mesh = make_mesh()
+            log.info(f"data-parallel over {ndev} devices (mesh axes {mesh.axis_names})")
+        sharding = batch_sharding(mesh) if mesh is not None else None
+
+        train_step = make_train_step(
+            spec, anchors_table, grid_sizes, batch_size, optimizer,
+            mesh=mesh, bn_frozen=bn_frozen, trainable_mask=trainable_mask,
+        )
+        eval_step = make_eval_step(
+            spec, anchors_table, grid_sizes, batch_size, mesh=mesh, bn_frozen=bn_frozen
+        )
+
+        train_state = init_train_state(params, bn_state, optimizer)
+        verbose = training_mode == "eager_tf"
+
+        best_val = float("inf")
+        best_weights = None
+        patience_left = early_stop_patience
+
+        for epoch in range(1, epochs + 1):
+            t0 = time.time()
+            nbatches = 0
+            for images, labels in DevicePrefetcher(
+                Batcher(ds_train, batch_size), sharding=sharding
+            ):
+                train_state, metrics = train_step(train_state, images, labels)
+                nbatches += 1
+                if verbose:
+                    self._log_metrics(epoch, "train", nbatches - 1, learning_rate, metrics)
+            if nbatches == 0:
+                raise ValueError("Dataset size less than batch size!")
+            dt = time.time() - t0
+            log.info(
+                f"epoch {epoch}: {nbatches} steps in {dt:.2f}s "
+                f"({nbatches * batch_size / dt:.1f} img/s)"
+            )
+
+            if epoch % weights_save_peroid == 0:
+                save_weights(spec, train_state["params"], train_state["bn_state"],
+                             output_checkpoints_path, step=epoch)
+
+            # validation pass (train.py:80-91)
+            val_losses = []
+            for batch_i, (images, labels) in enumerate(
+                DevicePrefetcher(Batcher(ds_val, batch_size), sharding=sharding)
+            ):
+                metrics = eval_step(train_state["params"], train_state["bn_state"], images, labels)
+                val_losses.append(float(metrics["total_loss"]))
+                if verbose:
+                    self._log_metrics(epoch, "val", batch_i, learning_rate, metrics)
+
+            if early_stopping and val_losses:
+                val_loss = float(np.mean(val_losses))
+                if val_loss < best_val:
+                    best_val = val_loss
+                    best_weights = jax.tree.map(lambda x: np.asarray(x),
+                                                (train_state["params"], train_state["bn_state"]))
+                    patience_left = early_stop_patience
+                else:
+                    patience_left -= 1
+                    if patience_left <= 0:
+                        log.info(f"early stopping at epoch {epoch} (best val_loss {best_val:.4f})")
+                        if best_weights is not None:
+                            p, s = jax.tree.map(jnp.asarray, best_weights)
+                            save_weights(spec, p, s, output_checkpoints_path, step=epoch)
+                        break
+
+        return train_state
+
+    @staticmethod
+    def _log_metrics(epoch, split, batch, lr, metrics):
+        # format parity with reference train.py:70-75
+        per_grid = [float(x) for x in np.asarray(metrics["per_grid"])]
+        per_source = np.asarray(metrics["per_source"])
+        pgs = [list(map(float, row)) for row in np.asarray(metrics["per_grid_per_source"])]
+        log.info(
+            f"{epoch}_{split}_{batch}_lr:{lr:.6f}, "
+            f"totLoss:{float(metrics['total_loss'])}, "
+            f"perGrid{per_grid}, "
+            f"perSource[xy,wh,obj,class]:{per_source}, "
+            f"perGridPerSource:{pgs}"
+        )

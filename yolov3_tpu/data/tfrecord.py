@@ -219,6 +219,63 @@ def decode_detection_example(example: dict, image_size: int, max_bboxes: int, cl
     return img, labels
 
 
+# ---------------------------------------------------------------------------
+# Writing (fixtures / dataset-creation tooling)
+# ---------------------------------------------------------------------------
+
+
+def _varint(value: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _field(field_num: int, wire: int, payload: bytes) -> bytes:
+    return _varint((field_num << 3) | wire) + payload
+
+
+def _bytes_list_feature(values: list[bytes]) -> bytes:
+    inner = b"".join(_field(1, 2, _varint(len(v)) + v) for v in values)
+    return _field(1, 2, _varint(len(inner)) + inner)
+
+
+def _float_list_feature(values) -> bytes:
+    packed = np.asarray(values, "<f4").tobytes()
+    inner = _field(1, 2, _varint(len(packed)) + packed)
+    return _field(2, 2, _varint(len(inner)) + inner)
+
+
+def encode_example(features: dict) -> bytes:
+    """{name: list[bytes] | list[float]} → serialized tf.train.Example."""
+    entries = b""
+    for name, values in features.items():
+        if values and isinstance(values[0], (bytes, bytearray, str)):
+            vals = [v.encode() if isinstance(v, str) else bytes(v) for v in values]
+            feat = _bytes_list_feature(vals)
+        else:
+            feat = _float_list_feature(values)
+        key = name.encode()
+        entry = _field(1, 2, _varint(len(key)) + key) + _field(2, 2, _varint(len(feat)) + feat)
+        entries += _field(1, 2, _varint(len(entry)) + entry)
+    return _field(1, 2, _varint(len(entries)) + entries)
+
+
+def write_tfrecord(path: str, records: list[bytes]):
+    with open(path, "wb") as f:
+        for data in records:
+            header = struct.pack("<Q", len(data))
+            f.write(header)
+            f.write(struct.pack("<I", masked_crc(header)))
+            f.write(data)
+            f.write(struct.pack("<I", masked_crc(data)))
+
+
 def parse_tfrecords(tfrecords_dir: str, image_size: int, max_bboxes: int, class_file: str | None = None):
     """Generator of (image, labels) over all records in a dir — the
     reference's parse_tfrecords surface (load_tfrecords.py:77-101)."""

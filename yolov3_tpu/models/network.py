@@ -49,6 +49,7 @@ def _apply_sub_model(
     inputs_entry,
     nclasses: int,
     train: bool,
+    bn_train: bool = True,
 ):
     """Run one sub-model's layer list; returns (selected outputs, new bn state)."""
     # the running 'x' starts as the (single) input, like Keras chaining
@@ -61,7 +62,7 @@ def _apply_sub_model(
             p = sm_params[key]
             x = L.conv2d(x, p["kernel"], layer["stride"], layer.get("pad", 1))
             if "bn" in p:
-                x, ns = L.batch_norm(x, p["bn"], sm_state[key], train)
+                x, ns = L.batch_norm(x, p["bn"], sm_state[key], train and bn_train)
                 new_state[key] = ns
             elif "bias" in p:
                 x = x + p["bias"].astype(x.dtype)
@@ -86,11 +87,15 @@ def _apply_sub_model(
     return outputs, new_state
 
 
-def apply_model(spec: ModelSpec, params, state, images, train: bool = False):
+def apply_model(spec: ModelSpec, params, state, images, train: bool = False,
+                bn_frozen: tuple = ()):
     """Forward pass. Returns (list of head outputs [B,g,g,3,5+nc], new_state).
 
     ``images``: NHWC float batch. Output order = config order of sub-models
     whose name contains ``spec.output_stage`` (13-grid head first for yolov3).
+    ``bn_frozen``: substrings of sub-model names whose BN layers run in
+    inference mode during training (transfer-learning batch_norm_freeze_list,
+    reference core/transfer_learning.py:33-37).
     """
     produced = {}
     new_state = {}
@@ -100,9 +105,10 @@ def apply_model(spec: ModelSpec, params, state, images, train: bool = False):
         else:
             srcs = [produced[name][entry_index] for name, entry_index in sm.inputs]
             inputs_entry = srcs[0] if len(srcs) == 1 else srcs
+        bn_train = not any(s and s in sm.name for s in bn_frozen)
         outs, sm_new_state = _apply_sub_model(
             sm, params[sm.name], state.get(sm.name, {}), inputs_entry,
-            spec.nclasses, train,
+            spec.nclasses, train, bn_train,
         )
         produced[sm.name] = outs
         if sm_new_state:
@@ -221,6 +227,25 @@ def fold_batch_norm(params, state, eps: float = L.BN_EPS):
                 sm_folded[key] = dict(entry)
         folded[sm_name] = sm_folded
     return folded
+
+
+def head_grid_sizes(spec: ModelSpec, image_size: int):
+    """Grid size of each head output at a given input resolution.
+
+    Derived from the actual graph via eval_shape (abstract, no FLOPs) —
+    unlike the reference, which hardcodes grid sizes in the DSL and so only
+    works at 416 (core/parse_model.py:209-211 reshape vs model.yaml grid_sizes).
+    """
+    params_shapes, state_shapes = jax.eval_shape(
+        lambda rng: init_model(rng, spec), jax.random.PRNGKey(0)
+    )
+    outs, _ = jax.eval_shape(
+        lambda p, s, im: apply_model(spec, p, s, im),
+        params_shapes,
+        state_shapes,
+        jax.ShapeDtypeStruct((1, image_size, image_size, 3), jnp.float32),
+    )
+    return tuple(o.shape[1] for o in outs)
 
 
 def param_count(params) -> int:

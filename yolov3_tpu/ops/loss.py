@@ -79,9 +79,13 @@ def yolo_loss_terms(y_true, y_pred, anchors, nclasses: int):
     obj_loss = jnp.sum(jnp.mean(bce, axis=-1))
 
     # Keras sparse_categorical_crossentropy over probabilities:
-    # logits := log(clip(p)); loss = logsumexp(logits) - logits[class]
+    # logits := log(clip(p)); loss = logsumexp(logits) - logits[class].
+    # Manual stable logsumexp (max + log-sum-exp) — matches TF's
+    # sparse_softmax_cross_entropy numerics more tightly than
+    # jax.nn.logsumexp's formulation.
     logp = jnp.log(jnp.clip(pred_class, KERAS_EPSILON, 1.0 - KERAS_EPSILON))
-    lse = jax.nn.logsumexp(logp, axis=-1)
+    m = jnp.max(logp, axis=-1, keepdims=True)
+    lse = (m + jnp.log(jnp.sum(jnp.exp(logp - m), axis=-1, keepdims=True)))[..., 0]
     cls_idx = true_class_idx[..., 0].astype(jnp.int32)
     picked = jnp.take_along_axis(logp, cls_idx[..., None], axis=-1)[..., 0]
     class_loss = obj_mask * (lse - picked)

@@ -107,3 +107,19 @@ def yolo_nms(
         )
     )(bboxes, scores)
     return bboxes, class_indices, scores, sel, nvalid
+
+
+def gather_detections(bboxes, class_indices, scores, selected, num_valid):
+    """Compact (B, max_boxes) detections from padded NMS output, on device.
+
+    Returns (boxes, classes, scores, valid_mask) — the small tensors a
+    serving path actually ships off-chip (the reference gathers on host,
+    inference.py:21-28).
+    """
+    boxes = jnp.take_along_axis(bboxes, selected[..., None], axis=1)
+    classes = jnp.take_along_axis(class_indices, selected, axis=1)
+    det_scores = jnp.take_along_axis(scores, selected, axis=1)
+    valid = (
+        jax.lax.broadcasted_iota(jnp.int32, selected.shape, 1) < num_valid[:, None]
+    )
+    return boxes, classes, det_scores, valid

@@ -1,0 +1,43 @@
+"""Device mesh + sharding helpers.
+
+The reference is single-device (SURVEY §2: no tf.distribute anywhere);
+multi-chip scaling here is first-class and TPU-native: a 1-D ``Mesh`` over
+all local devices with batch-sharded data parallelism. Params/optimizer
+state are replicated; XLA compiles the gradient all-reduce onto ICI.
+Training-mode BatchNorm reduces batch statistics over the *global* batch
+(sync-BN) because the mean/var reductions happen inside the same jit.
+
+The axis layout is intentionally N-D-ready: ``make_mesh`` accepts an
+``axes`` dict so a (data, model) mesh can be layered in without touching
+call sites.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices=None, axes: dict | None = None) -> Mesh:
+    """Build a mesh. Default: all devices on the 'data' axis."""
+    if devices is None:
+        devices = jax.devices()
+    if axes is None:
+        axes = {DATA_AXIS: len(devices)}
+    names = tuple(axes)
+    shape = tuple(axes.values())
+    if int(np.prod(shape)) != len(devices):
+        raise ValueError(f"mesh axes {axes} need {np.prod(shape)} devices, got {len(devices)}")
+    return Mesh(np.asarray(devices).reshape(shape), names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,138 @@
+"""Jitted train/eval steps — assignment + forward + loss + update in ONE jit.
+
+Everything the reference does per batch across tf.data maps and a Python
+GradientTape loop (train.py:38-91, preprocess_dataset.py:122-144) compiles
+here into a single XLA program per step: device-side grid-scatter target
+assignment, forward pass, 4-term loss, L2 regularization, gradients, and
+the Adam update. Under a batch-sharded mesh the same program runs SPMD
+over all chips with XLA-inserted gradient all-reduce.
+
+Loss bookkeeping parity (train.py:38-54): per-scale 4-term vectors divided
+by batch size; totals/per-grid/per-source metrics returned for logging.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.network import apply_model, l2_regularization
+from ..ops.assign import assign_targets
+from ..ops.loss import yolo_loss_terms
+from .mesh import batch_sharding, replicated_sharding
+
+
+def make_adam(learning_rate: float) -> optax.GradientTransformation:
+    """Keras-default Adam (eps 1e-7, vs optax default 1e-8) — train.py:168."""
+    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
+
+
+def init_train_state(params, state, optimizer):
+    # own fresh buffers: the jitted step donates the train state, which
+    # would otherwise invalidate the caller's (params, state) arrays
+    params = jax.tree.map(jnp.array, params)
+    state = jax.tree.map(jnp.array, state)
+    return {
+        "params": params,
+        "bn_state": state,
+        "opt_state": optimizer.init(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def _loss_and_metrics(spec, params, bn_state, images, labels, anchors_table,
+                      grid_sizes, batch_size, bn_frozen, train):
+    y_true = assign_targets(labels, anchors_table, grid_sizes)
+    outputs, new_bn = apply_model(spec, params, bn_state, images,
+                                  train=train, bn_frozen=bn_frozen)
+    terms = jnp.stack(
+        [
+            yolo_loss_terms(t, p, anchors_table[i], spec.nclasses) / batch_size
+            for i, (t, p) in enumerate(zip(y_true, outputs))
+        ]
+    )  # (nscales, 4) — [xy, wh, obj, class] per grid
+    reg = l2_regularization(params, spec.decay_factor)
+    total = jnp.sum(terms) + reg
+    metrics = {
+        "total_loss": total,
+        "regularization": reg,
+        "per_grid": jnp.sum(terms, axis=1),     # (nscales,)
+        "per_source": jnp.sum(terms, axis=0),   # (4,) [xy, wh, obj, class]
+        "per_grid_per_source": terms,           # (nscales, 4)
+    }
+    return total, (new_bn, metrics)
+
+
+def make_train_step(spec, anchors_table, grid_sizes, batch_size,
+                    optimizer, mesh=None, bn_frozen=(), trainable_mask=None):
+    """Returns step(train_state, images, labels) → (train_state, metrics).
+
+    ``trainable_mask``: optional pytree of bools matching params — False
+    leaves get zero gradient (transfer-learning freeze_train_list; with
+    Adam a zero gradient yields an exactly-zero update, matching Keras's
+    exclusion of non-trainable variables).
+    """
+    anchors_table = jnp.asarray(anchors_table, jnp.float32)
+    grid_sizes = tuple(int(g) for g in grid_sizes)
+
+    loss_fn = partial(
+        _loss_and_metrics, spec,
+        anchors_table=anchors_table, grid_sizes=grid_sizes,
+        batch_size=batch_size, bn_frozen=tuple(bn_frozen), train=True,
+    )
+
+    def step(train_state, images, labels):
+        params = train_state["params"]
+        grad_fn = jax.value_and_grad(
+            lambda p: loss_fn(p, train_state["bn_state"], images, labels),
+            has_aux=True,
+        )
+        (_, (new_bn, metrics)), grads = grad_fn(params)
+        if trainable_mask is not None:
+            grads = jax.tree.map(
+                lambda g, m: g * m, grads,
+                jax.tree.map(lambda t: jnp.asarray(t, jnp.float32), trainable_mask),
+            )
+        updates, new_opt_state = optimizer.update(grads, train_state["opt_state"], params)
+        new_params = optax.apply_updates(params, updates)
+        new_train_state = {
+            "params": new_params,
+            "bn_state": new_bn,
+            "opt_state": new_opt_state,
+            "step": train_state["step"] + 1,
+        }
+        return new_train_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    data = batch_sharding(mesh)
+    repl = replicated_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, data, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(spec, anchors_table, grid_sizes, batch_size, mesh=None, bn_frozen=()):
+    """Validation loss step (no update) — mirrors train.py:80-91."""
+    anchors_table = jnp.asarray(anchors_table, jnp.float32)
+    grid_sizes = tuple(int(g) for g in grid_sizes)
+
+    def step(params, bn_state, images, labels):
+        _, (_, metrics) = _loss_and_metrics(
+            spec, params, bn_state, images, labels, anchors_table,
+            grid_sizes, batch_size, tuple(bn_frozen), train=False,
+        )
+        return metrics
+
+    if mesh is None:
+        return jax.jit(step)
+    data = batch_sharding(mesh)
+    repl = replicated_sharding(mesh)
+    return jax.jit(step, in_shardings=(repl, repl, data, data), out_shardings=repl)
