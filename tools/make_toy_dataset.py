@@ -70,7 +70,7 @@ def main(root="datasets/shapes_toy", n_train=32, n_val=16, n_test=8, seed=7):
          [0.28, 0.28], [0.31, 0.31], [0.34, 0.34],
          [0.36, 0.36], [0.38, 0.38], [0.40, 0.40]], np.float32)
     np.savetxt(f"{root}/anchors/anchors.txt", anchors9, delimiter=",")
-    np.savetxt(f"{root}/anchors/anchors_tiny.txt", anchors9[::2][:6], delimiter=",")
+    np.savetxt(f"{root}/anchors/anchors_tiny.txt", anchors9[:6], delimiter=",")
 
     coco = {"images": [], "annotations": [], "categories":
             [{"id": 10 + i, "name": n} for i, n in enumerate(CLASSES)]}

@@ -71,6 +71,8 @@ class Train:
         weights_save_peroid,
         **kwargs,
     ):
+        if not logging.getLogger().handlers:
+            logging.basicConfig(level=logging.INFO, format="%(levelname)s:%(name)s:%(message)s")
         logging.getLogger().setLevel(logging.INFO)
 
         anchors_table = get_anchors(anchors_file)
@@ -187,6 +189,10 @@ class Train:
                             save_weights(spec, p, s, output_checkpoints_path, step=epoch)
                         break
 
+        # final save so short runs always leave a checkpoint (the reference
+        # only saves every weights_save_peroid epochs — train.py:76-78)
+        save_weights(spec, train_state["params"], train_state["bn_state"],
+                     output_checkpoints_path, step=epochs)
         return train_state
 
     @staticmethod

@@ -84,7 +84,9 @@ def upsample_nearest(x, stride: int):
 
 def max_pool(x, size_xy, stride_xy, padding: str):
     pads = _pool_same_pads(x.shape, size_xy, stride_xy) if padding.lower() == "same" else [(0, 0), (0, 0)]
-    neg_inf = jnp.asarray(-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min, x.dtype)
+    # init must be a Python scalar literal — an Array init makes lax lower to
+    # the generic reduce_window primitive, which has no autodiff rule
+    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x,
         neg_inf,

@@ -81,7 +81,7 @@ def _annotate_text(image_pil: Image.Image, bbox, class_name: str, score: float, 
         (xmin_text + margin, text_bottom - text_height - margin),
         detections_str, fill="black", font=font,
     )
-    return (detections_str, xmin, ymin, xmax, ymax)
+    return (detections_str, float(xmin), float(ymin), float(xmax), float(ymax))
 
 
 def annotate_detections(image, class_names, bboxes, scores, bbox_color, font_size):
