@@ -30,7 +30,7 @@ import numpy as np
 
 H100_IMAGES_PER_SEC = 2000.0
 
-BATCH = 64
+BATCH = 128
 IMAGE_SIZE = 416
 WARMUP = 2
 ITERS = 16
@@ -53,7 +53,8 @@ def main():
         outs, _ = apply_model(spec, p, {}, images.astype(jnp.bfloat16), train=False)
         boxes, conf, probs = yolo_decode(outs, anchors, 80)
         nms_out = yolo_nms(boxes, conf, probs, max_boxes=100,
-                           iou_threshold=0.5, score_threshold=0.25)
+                           iou_threshold=0.5, score_threshold=0.25,
+                           num_candidates=256)
         det_boxes, det_classes, det_scores, valid = gather_detections(*nms_out)
         # scalar checksum forces full execution on fetch
         checksum = jnp.sum(det_boxes) + jnp.sum(det_scores) + jnp.sum(valid)

@@ -75,7 +75,8 @@ def test_bn_fold_equivalence(tiny_spec):
     folded = fold_batch_norm(params, state)
     outs_folded, _ = apply_model(tiny_spec, folded, {}, x, train=False)
     for a, b in zip(outs, outs_folded):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+        # fp32 reassociation: scale-into-kernel vs normalize-activations
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
 
 
 def test_train_mode_updates_bn_state(tiny_spec):

@@ -19,6 +19,7 @@ TPU-native differences (by design, documented):
 from __future__ import annotations
 
 import logging
+import os
 import time
 
 import jax
@@ -69,11 +70,18 @@ class Train:
         output_checkpoints_path,
         early_stopping,
         weights_save_peroid,
+        resume=False,
+        profile_trace_dir=None,
+        debug_nans=False,
         **kwargs,
     ):
         if not logging.getLogger().handlers:
             logging.basicConfig(level=logging.INFO, format="%(levelname)s:%(name)s:%(message)s")
         logging.getLogger().setLevel(logging.INFO)
+        if debug_nans:
+            from ..utils.profiling import enable_nan_debug
+
+            enable_nan_debug()
 
         anchors_table = get_anchors(anchors_file)
         nclasses = count_file_lines(classes_name_file)
@@ -137,20 +145,37 @@ class Train:
         train_state = init_train_state(params, bn_state, optimizer)
         verbose = training_mode == "eager_tf"
 
+        # full-state resume (params + BN stats + optimizer moments + step) —
+        # capability the reference lacks (it saves weights only, SURVEY §5)
+        from ..io.checkpoint import load_checkpoint, save_checkpoint
+        from ..io.resolve import native_path
+
+        state_path = native_path(output_checkpoints_path).replace(".npz", ".train_state.npz")
+        start_epoch = 1
+        if resume and os.path.exists(state_path):
+            train_state, saved_epoch = load_checkpoint(state_path, like=train_state)
+            start_epoch = int(saved_epoch or 0) + 1
+            log.info(f"resumed full train state from {state_path} at epoch {start_epoch}")
+
         best_val = float("inf")
         best_weights = None
         patience_left = early_stop_patience
 
-        for epoch in range(1, epochs + 1):
+        from ..utils.profiling import StepTimer, trace
+
+        timer = StepTimer(images_per_step=batch_size)
+        for epoch in range(start_epoch, epochs + 1):
             t0 = time.time()
             nbatches = 0
-            for images, labels in DevicePrefetcher(
-                Batcher(ds_train, batch_size), sharding=sharding
-            ):
-                train_state, metrics = train_step(train_state, images, labels)
-                nbatches += 1
-                if verbose:
-                    self._log_metrics(epoch, "train", nbatches - 1, learning_rate, metrics)
+            with trace(profile_trace_dir if epoch == start_epoch else None):
+                for images, labels in DevicePrefetcher(
+                    Batcher(ds_train, batch_size), sharding=sharding
+                ):
+                    with timer:
+                        train_state, metrics = train_step(train_state, images, labels)
+                    nbatches += 1
+                    if verbose:
+                        self._log_metrics(epoch, "train", nbatches - 1, learning_rate, metrics)
             if nbatches == 0:
                 raise ValueError("Dataset size less than batch size!")
             dt = time.time() - t0
@@ -162,6 +187,7 @@ class Train:
             if epoch % weights_save_peroid == 0:
                 save_weights(spec, train_state["params"], train_state["bn_state"],
                              output_checkpoints_path, step=epoch)
+                save_checkpoint(state_path, train_state, step=epoch)
 
             # validation pass (train.py:80-91)
             val_losses = []
@@ -193,6 +219,9 @@ class Train:
         # only saves every weights_save_peroid epochs — train.py:76-78)
         save_weights(spec, train_state["params"], train_state["bn_state"],
                      output_checkpoints_path, step=epochs)
+        save_checkpoint(state_path, train_state, step=epochs)
+        if timer.durations:
+            log.info(f"step timing: {timer.stats()}")
         return train_state
 
     @staticmethod

@@ -80,7 +80,9 @@ def _unflatten_like(like, flat, prefix=""):
         return {k: _unflatten_like(v, flat, f"{prefix}{k}/") for k, v in like.items()}
     if isinstance(like, (list, tuple)):
         seq = [_unflatten_like(v, flat, f"{prefix}{i}/") for i, v in enumerate(like)]
-        return type(like)(seq) if isinstance(like, tuple) else seq
+        if hasattr(like, "_fields"):  # namedtuple (e.g. optax states)
+            return type(like)(*seq)
+        return tuple(seq) if isinstance(like, tuple) else seq
     arr = flat[prefix[:-1]]
     return jnp.asarray(arr, dtype=jnp.asarray(like).dtype)
 
