@@ -169,8 +169,17 @@ def _parse_sub_model(sub_conf: dict, nclasses: int, config_dir: str) -> SubModel
 
 
 def parse_model_config(model_config_file: str, nclasses: int) -> ModelSpec:
-    """Load a model.yaml (+ its per-sub-model layer files) into a ModelSpec."""
+    """Load a model config into a ModelSpec.
+
+    Accepts both formats: the two-tier model.yaml (+ per-sub-model layer
+    files) and the compact single-file [from, number, module, args] format
+    (reference core/newparse.py) — dispatched on the presence of
+    ``sub_models_configs``."""
     model_config = load_yaml(model_config_file)
+    if "sub_models_configs" not in model_config:
+        from .compact_spec import parse_compact_model_config
+
+        return parse_compact_model_config(model_config_file, nclasses)
     config_dir = os.path.dirname(os.path.abspath(model_config_file))
     sub_models = tuple(
         _parse_sub_model(sc, nclasses, config_dir)
