@@ -64,7 +64,24 @@ def masked_crc(data: bytes) -> int:
 
 
 def iter_tfrecord_records(path: str, validate_crc: bool = True):
-    """Yield raw record bytes from one TFRecord file."""
+    """Yield raw record bytes from one TFRecord file.
+
+    Uses the native scanner (hardware CRC32C) when the C++ core is built;
+    falls back to the pure-Python framing otherwise.
+    """
+    from . import native
+
+    if native.available():
+        with open(path, "rb") as f:
+            buf = f.read()
+        try:
+            spans = native.scan_tfrecord(buf, validate=validate_crc)
+        except IOError as e:
+            raise IOError(f"{path}: {e}") from e
+        if spans is not None:
+            for offset, length in spans:
+                yield buf[offset : offset + length]
+            return
     with open(path, "rb") as f:
         while True:
             header = f.read(12)
@@ -188,11 +205,16 @@ def parse_example(record: bytes) -> dict:
 
 def decode_detection_example(example: dict, image_size: int, max_bboxes: int, class_to_id):
     """One parsed Example → (image float32 (S,S,3) in [0,1], labels (M,6))."""
+    from . import native
     from .image import decode_image, resize_bilinear
 
     encoded = example["image/encoded"][0]
-    img = decode_image(encoded)
-    img = resize_bilinear(img.astype(np.float32), image_size, image_size) / 255.0
+    img = None
+    if encoded[:2] == b"\xff\xd8":  # JPEG → fused native decode+resize
+        img = native.decode_resize_jpeg(encoded, image_size, image_size)
+    if img is None:
+        img = decode_image(encoded)
+        img = resize_bilinear(img.astype(np.float32), image_size, image_size) / 255.0
 
     xmin = np.asarray(example.get("image/object/bbox/xmin", []), np.float32)
     ymin = np.asarray(example.get("image/object/bbox/ymin", []), np.float32)
@@ -276,14 +298,49 @@ def write_tfrecord(path: str, records: list[bytes]):
             f.write(struct.pack("<I", masked_crc(data)))
 
 
-def parse_tfrecords(tfrecords_dir: str, image_size: int, max_bboxes: int, class_file: str | None = None):
+def parse_tfrecords(tfrecords_dir: str, image_size: int, max_bboxes: int,
+                    class_file: str | None = None, num_workers: int | None = None):
     """Generator of (image, labels) over all records in a dir — the
-    reference's parse_tfrecords surface (load_tfrecords.py:77-101)."""
+    reference's parse_tfrecords surface (load_tfrecords.py:77-101).
+
+    Decode is spread over a thread pool (the native decode path holds no
+    GIL), order-preserving, with a bounded in-flight window.
+    """
+    import os as _os
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     class_to_id = None
     if class_file:
         from ..config import read_class_names
 
         class_to_id = {n: i for i, n in enumerate(read_class_names(class_file))}
-    for path in iter_tfrecord_files(tfrecords_dir):
-        for record in iter_tfrecord_records(path):
-            yield decode_detection_example(parse_example(record), image_size, max_bboxes, class_to_id)
+
+    def records():
+        for path in iter_tfrecord_files(tfrecords_dir):
+            yield from iter_tfrecord_records(path)
+
+    def decode(record):
+        return decode_detection_example(parse_example(record), image_size, max_bboxes, class_to_id)
+
+    if num_workers is None:
+        num_workers = min(8, _os.cpu_count() or 1)
+    if num_workers <= 1:
+        for record in records():
+            yield decode(record)
+        return
+
+    window = 4 * num_workers
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        pending: deque = deque()
+        it = records()
+        try:
+            for record in it:
+                pending.append(pool.submit(decode, record))
+                if len(pending) >= window:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
+        finally:
+            for fut in pending:
+                fut.cancel()
