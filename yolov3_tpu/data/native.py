@@ -83,17 +83,22 @@ def decode_resize_jpeg(data: bytes, out_h: int, out_w: int, scale: float = 1.0 /
     lib = _load()
     if lib is None:
         return None
-    scratch = _scratch(4096 * 4096 * 3)
     out = np.empty((out_h, out_w, 3), np.float32)
-    rc = lib.yolodata_decode_resize(
-        data, len(data),
-        scratch.ctypes.data_as(ctypes.c_void_p), scratch.size,
-        out_h, out_w, ctypes.c_float(scale),
-        out.ctypes.data_as(ctypes.c_void_p),
-    )
-    if rc != 0:
-        return None
-    return out
+    size = 1024 * 1024 * 3  # grow-on-demand keeps per-thread scratch small
+    while size <= MAX_PIXELS * 3:
+        scratch = _scratch(size)
+        rc = lib.yolodata_decode_resize(
+            data, len(data),
+            scratch.ctypes.data_as(ctypes.c_void_p), scratch.size,
+            out_h, out_w, ctypes.c_float(scale),
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc == 0:
+            return out
+        if rc != -2:  # decode error (not a too-small scratch)
+            return None
+        size = max(size * 4, scratch.size * 4)
+    return None
 
 
 def scan_tfrecord(buf: bytes, validate: bool = True, max_records: int = 1 << 20):
