@@ -324,7 +324,10 @@ def parse_tfrecords(tfrecords_dir: str, image_size: int, max_bboxes: int,
         return decode_detection_example(parse_example(record), image_size, max_bboxes, class_to_id)
 
     if num_workers is None:
-        num_workers = min(8, _os.cpu_count() or 1)
+        # sequential by default: the device prefetcher already overlaps host
+        # decode with device compute, and pool startup dominates on small
+        # sets. Pass num_workers>1 for large-image training corpora.
+        num_workers = 1
     if num_workers <= 1:
         for record in records():
             yield decode(record)
