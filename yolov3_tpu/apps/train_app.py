@@ -73,6 +73,7 @@ class Train:
         resume=False,
         profile_trace_dir=None,
         debug_nans=False,
+        mixed_precision=False,
         **kwargs,
     ):
         if not logging.getLogger().handlers:
@@ -126,6 +127,29 @@ class Train:
             raise ValueError("Dataset size less than batch size!")
         ds_train, ds_val = dataset
 
+        if debug_mode:
+            # eager single-batch assignment check (reference
+            # preprocess_dataset_debug, core/preprocess_dataset.py:94-120)
+            from ..ops.assign import assign_targets
+
+            images, labels = next(iter(Batcher(ds_train, min(batch_size, 2))))
+            grids = assign_targets(jnp.asarray(labels), anchors_table, grid_sizes)
+            for s, cube in enumerate(grids):
+                n = int(np.asarray(cube)[..., 4].sum())
+                log.info(f"debug_mode: scale {s} (g={cube.shape[1]}): {n} boxes assigned")
+
+        if render_dataset_example:
+            from ..utils.render import render_bboxes
+
+            images, labels = next(iter(Batcher(ds_train, 1)))
+            rendered = render_bboxes(images[0], labels[0][labels[0][:, 4] == 1][:, :4])
+            from PIL import Image
+
+            Image.fromarray(np.uint8(np.clip(rendered, 0, 1) * 255)).save(
+                "dataset_example.png"
+            )
+            log.info("render_dataset_example: wrote dataset_example.png")
+
         # --- mesh: data-parallel over all devices when batch divides ---
         ndev = jax.device_count()
         mesh = None
@@ -137,6 +161,7 @@ class Train:
         train_step = make_train_step(
             spec, anchors_table, grid_sizes, batch_size, optimizer,
             mesh=mesh, bn_frozen=bn_frozen, trainable_mask=trainable_mask,
+            compute_dtype=jnp.bfloat16 if mixed_precision else None,
         )
         eval_step = make_eval_step(
             spec, anchors_table, grid_sizes, batch_size, mesh=mesh, bn_frozen=bn_frozen

@@ -38,13 +38,16 @@ def conv2d(x, kernel, stride: int, pad: int):
         padding = [(p, k - 1 - p), (p, k - 1 - p)]
     else:
         padding = [(0, 0), (0, 0)]
+    # low-precision activations stay low-precision (MXU still accumulates
+    # fp32 internally); fp32 stays fp32 end-to-end
+    preferred = jnp.float32 if x.dtype == jnp.float32 else None
     return lax.conv_general_dilated(
         x,
         kernel.astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=_DIMSPEC,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     )
 
 

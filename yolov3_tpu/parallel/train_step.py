@@ -44,9 +44,18 @@ def init_train_state(params, state, optimizer):
 
 
 def _loss_and_metrics(spec, params, bn_state, images, labels, anchors_table,
-                      grid_sizes, batch_size, bn_frozen, train):
+                      grid_sizes, batch_size, bn_frozen, train,
+                      compute_dtype=None):
     y_true = assign_targets(labels, anchors_table, grid_sizes)
-    outputs, new_bn = apply_model(spec, params, bn_state, images,
+    if compute_dtype is not None:
+        # mixed precision: bf16 compute against fp32 master weights — the
+        # cast sits inside the differentiated graph, so gradients come back
+        # fp32 at the masters; loss math is fp32 regardless (ops/loss.py)
+        images = images.astype(compute_dtype)
+        params_c = jax.tree.map(lambda x: x.astype(compute_dtype), params)
+    else:
+        params_c = params
+    outputs, new_bn = apply_model(spec, params_c, bn_state, images,
                                   train=train, bn_frozen=bn_frozen)
     terms = jnp.stack(
         [
@@ -67,7 +76,8 @@ def _loss_and_metrics(spec, params, bn_state, images, labels, anchors_table,
 
 
 def make_train_step(spec, anchors_table, grid_sizes, batch_size,
-                    optimizer, mesh=None, bn_frozen=(), trainable_mask=None):
+                    optimizer, mesh=None, bn_frozen=(), trainable_mask=None,
+                    compute_dtype=None):
     """Returns step(train_state, images, labels) → (train_state, metrics).
 
     ``trainable_mask``: optional pytree of bools matching params — False
@@ -82,6 +92,7 @@ def make_train_step(spec, anchors_table, grid_sizes, batch_size,
         _loss_and_metrics, spec,
         anchors_table=anchors_table, grid_sizes=grid_sizes,
         batch_size=batch_size, bn_frozen=tuple(bn_frozen), train=True,
+        compute_dtype=compute_dtype,
     )
 
     def step(train_state, images, labels):
