@@ -1,0 +1,92 @@
+"""End-to-end application-level tests on the toy dataset (small sizes,
+CPU): train → checkpoint → inference → evaluate, and the darknet convert
+path. These exercise the same code paths as the CLIs."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+
+@pytest.fixture(scope="module")
+def workdir(repo_root, tmp_path_factory, toy_dataset):
+    out = tmp_path_factory.mktemp("e2e")
+    cwd = os.getcwd()
+    os.chdir(repo_root)
+    yield str(out)
+    os.chdir(cwd)
+
+
+@pytest.fixture(scope="module")
+def trained_checkpoint(workdir):
+    from yolov3_tpu.apps.train_app import Train
+
+    cfg = yaml.safe_load(open("config/train_config.yaml"))
+    cfg["image_size"] = 96
+    cfg["epochs"] = 1
+    cfg["batch_size"] = 8
+    cfg["training_mode"] = "fit"
+    cfg["output_checkpoints_path"] = f"{workdir}/yolov3_tiny.tf"
+    Train()(**cfg)
+    assert os.path.exists(f"{workdir}/yolov3_tiny.tf.npz")
+    return cfg["output_checkpoints_path"]
+
+
+def test_train_then_inference(workdir, trained_checkpoint):
+    from yolov3_tpu.apps.inference_app import Inference
+
+    cfg = yaml.safe_load(open("config/detect_config.yaml"))
+    cfg["image_size"] = 96
+    cfg["input_weights_path"] = trained_checkpoint
+    cfg["output_dir"] = f"{workdir}/detect_out"
+    results = Inference()(**cfg)
+    detect_txt = f"{workdir}/detect_out/detect.txt"
+    assert os.path.exists(detect_txt)
+    lines = open(detect_txt).readlines()
+    assert len(lines) == 8  # toy test split size
+    assert os.path.exists(f"{workdir}/detect_out/detect_0.jpg")
+
+
+def test_train_then_evaluate(workdir, trained_checkpoint):
+    from yolov3_tpu.apps.evaluate_app import evaluate
+
+    detect_cfg = yaml.safe_load(open("config/detect_config.yaml"))
+    detect_cfg["image_size"] = 96
+    detect_cfg["input_weights_path"] = trained_checkpoint
+    cwd = os.getcwd()
+    os.chdir(workdir)  # .npy histograms land here
+    try:
+        results = evaluate({"evaluate_nms_score_thresholds": [0.1]}, detect_cfg,
+                           max_eval_images=8)
+    finally:
+        os.chdir(cwd)
+    assert len(results) == 1
+    r = results[0]
+    assert r["recall"].shape == (3,)
+    assert "map50" in r
+    # every toy image has gt boxes — the evaluator must have seen them
+    assert os.path.exists(f"{workdir}/gts_0.1.npy")
+    assert np.load(f"{workdir}/gts_0.1.npy").sum() > 0
+
+
+def test_convert_roundtrip_app(workdir):
+    import jax
+    from yolov3_tpu.apps.convert_app import convert
+    from yolov3_tpu.io.darknet import save_darknet_weights
+    from yolov3_tpu.models import parse_model_config, init_model
+
+    spec = parse_model_config("config/models/yolov3_tiny/model.yaml", nclasses=3)
+    params, state = init_model(jax.random.PRNGKey(3), spec)
+    weights_file = f"{workdir}/synthetic.weights"
+    save_darknet_weights(spec, params, state, weights_file)
+
+    out_spec, out_params, out_state = convert({
+        "num_classes": 3,
+        "weights_file": weights_file,
+        "output_weights_file": f"{workdir}/converted.tf",
+        "model_config_file": "config/models/yolov3_tiny/model.yaml",
+    })
+    assert os.path.exists(f"{workdir}/converted.tf.npz")
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(out_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

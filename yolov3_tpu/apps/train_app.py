@@ -74,6 +74,7 @@ class Train:
         profile_trace_dir=None,
         debug_nans=False,
         mixed_precision=False,
+        remat=False,
         **kwargs,
     ):
         if not logging.getLogger().handlers:
@@ -162,6 +163,7 @@ class Train:
             spec, anchors_table, grid_sizes, batch_size, optimizer,
             mesh=mesh, bn_frozen=bn_frozen, trainable_mask=trainable_mask,
             compute_dtype=jnp.bfloat16 if mixed_precision else None,
+            remat=remat,
         )
         eval_step = make_eval_step(
             spec, anchors_table, grid_sizes, batch_size, mesh=mesh, bn_frozen=bn_frozen

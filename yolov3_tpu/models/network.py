@@ -88,7 +88,7 @@ def _apply_sub_model(
 
 
 def apply_model(spec: ModelSpec, params, state, images, train: bool = False,
-                bn_frozen: tuple = ()):
+                bn_frozen: tuple = (), remat: bool = False):
     """Forward pass. Returns (list of head outputs [B,g,g,3,5+nc], new_state).
 
     ``images``: NHWC float batch. Output order = config order of sub-models
@@ -96,6 +96,9 @@ def apply_model(spec: ModelSpec, params, state, images, train: bool = False,
     ``bn_frozen``: substrings of sub-model names whose BN layers run in
     inference mode during training (transfer-learning batch_norm_freeze_list,
     reference core/transfer_learning.py:33-37).
+    ``remat``: checkpoint each sub-model's forward — activations inside a
+    sub-model are recomputed in the backward pass, trading FLOPs for HBM
+    (enables larger global batches on memory-bound chips).
     """
     produced = {}
     new_state = {}
@@ -106,9 +109,15 @@ def apply_model(spec: ModelSpec, params, state, images, train: bool = False,
             srcs = [produced[name][entry_index] for name, entry_index in sm.inputs]
             inputs_entry = srcs[0] if len(srcs) == 1 else srcs
         bn_train = not any(s and s in sm.name for s in bn_frozen)
-        outs, sm_new_state = _apply_sub_model(
-            sm, params[sm.name], state.get(sm.name, {}), inputs_entry,
-            spec.nclasses, train, bn_train,
+
+        def run(sm_params, sm_state, inputs, _sm=sm, _bn=bn_train):
+            return _apply_sub_model(_sm, sm_params, sm_state, inputs,
+                                    spec.nclasses, train, _bn)
+
+        if remat and train:
+            run = jax.checkpoint(run)
+        outs, sm_new_state = run(
+            params[sm.name], state.get(sm.name, {}), inputs_entry
         )
         produced[sm.name] = outs
         if sm_new_state:

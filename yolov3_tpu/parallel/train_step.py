@@ -45,7 +45,7 @@ def init_train_state(params, state, optimizer):
 
 def _loss_and_metrics(spec, params, bn_state, images, labels, anchors_table,
                       grid_sizes, batch_size, bn_frozen, train,
-                      compute_dtype=None):
+                      compute_dtype=None, remat=False):
     y_true = assign_targets(labels, anchors_table, grid_sizes)
     if compute_dtype is not None:
         # mixed precision: bf16 compute against fp32 master weights — the
@@ -56,7 +56,7 @@ def _loss_and_metrics(spec, params, bn_state, images, labels, anchors_table,
     else:
         params_c = params
     outputs, new_bn = apply_model(spec, params_c, bn_state, images,
-                                  train=train, bn_frozen=bn_frozen)
+                                  train=train, bn_frozen=bn_frozen, remat=remat)
     terms = jnp.stack(
         [
             yolo_loss_terms(t, p, anchors_table[i], spec.nclasses) / batch_size
@@ -77,7 +77,7 @@ def _loss_and_metrics(spec, params, bn_state, images, labels, anchors_table,
 
 def make_train_step(spec, anchors_table, grid_sizes, batch_size,
                     optimizer, mesh=None, bn_frozen=(), trainable_mask=None,
-                    compute_dtype=None):
+                    compute_dtype=None, remat=False):
     """Returns step(train_state, images, labels) → (train_state, metrics).
 
     ``trainable_mask``: optional pytree of bools matching params — False
@@ -92,7 +92,7 @@ def make_train_step(spec, anchors_table, grid_sizes, batch_size,
         _loss_and_metrics, spec,
         anchors_table=anchors_table, grid_sizes=grid_sizes,
         batch_size=batch_size, bn_frozen=tuple(bn_frozen), train=True,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, remat=remat,
     )
 
     def step(train_state, images, labels):
