@@ -53,7 +53,9 @@ def test_train_then_evaluate(workdir, trained_checkpoint):
 
     detect_cfg = yaml.safe_load(open("config/detect_config.yaml"))
     detect_cfg["image_size"] = 96
-    detect_cfg["input_weights_path"] = trained_checkpoint
+    detect_cfg["input_weights_path"] = os.path.abspath(trained_checkpoint)
+    for key in ("model_config_file", "tfrecords_dir", "classes_name_file", "anchors_file"):
+        detect_cfg[key] = os.path.abspath(detect_cfg[key])
     cwd = os.getcwd()
     os.chdir(workdir)  # .npy histograms land here
     try:
