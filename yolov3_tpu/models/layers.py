@@ -51,6 +51,37 @@ def conv2d(x, kernel, stride: int, pad: int):
     )
 
 
+def conv2d_int8(x, qparams, stride: int, pad: int):
+    """Quantized conv: int8 weights × int8 activations → int32 MXU, rescale.
+
+    qparams: kernel_q int8 (kh,kw,cin,cout); w_scale (cout,) f32 per-channel
+    weight scale; in_scale () f32 activation scale (calibrated absmax/127);
+    bias (cout,) f32 (BN pre-folded). Output dtype follows the input's.
+    """
+    in_scale = qparams["in_scale"]
+    inv = 1.0 / in_scale
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127).astype(jnp.int8)
+    if stride > 1:
+        padding = [(1, 0), (1, 0)]
+    elif pad == 1:
+        k = qparams["kernel_q"].shape[0]
+        p = (k - 1) // 2
+        padding = [(p, k - 1 - p), (p, k - 1 - p)]
+    else:
+        padding = [(0, 0), (0, 0)]
+    acc = lax.conv_general_dilated(
+        xq,
+        qparams["kernel_q"],
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=_DIMSPEC,
+        preferred_element_type=jnp.int32,
+    )
+    scale = (qparams["w_scale"] * in_scale).astype(jnp.float32)
+    y = acc.astype(jnp.float32) * scale + qparams["bias"]
+    return y.astype(x.dtype)
+
+
 def batch_norm(x, bn_params, bn_state, train: bool, momentum=BN_MOMENTUM, eps=BN_EPS):
     """Functional BatchNorm over NHWC (channel axis -1).
 

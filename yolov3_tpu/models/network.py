@@ -50,8 +50,13 @@ def _apply_sub_model(
     nclasses: int,
     train: bool,
     bn_train: bool = True,
+    conv_observer=None,
 ):
-    """Run one sub-model's layer list; returns (selected outputs, new bn state)."""
+    """Run one sub-model's layer list; returns (selected outputs, new bn state).
+
+    ``conv_observer(sm_name, layer_key, x)`` is called with each conv's
+    input activation (traced value) — used by int8 calibration.
+    """
     # the running 'x' starts as the (single) input, like Keras chaining
     x = inputs_entry if not isinstance(inputs_entry, (list, tuple)) else inputs_entry[0]
     layer_outs = []
@@ -60,11 +65,16 @@ def _apply_sub_model(
         key = f"layer{i}"
         if layer.kind == "convolutional":
             p = sm_params[key]
-            x = L.conv2d(x, p["kernel"], layer["stride"], layer.get("pad", 1))
+            if conv_observer is not None:
+                conv_observer(sm.name, key, x)
+            if "kernel_q" in p:
+                x = L.conv2d_int8(x, p, layer["stride"], layer.get("pad", 1))
+            else:
+                x = L.conv2d(x, p["kernel"], layer["stride"], layer.get("pad", 1))
             if "bn" in p:
                 x, ns = L.batch_norm(x, p["bn"], sm_state[key], train and bn_train)
                 new_state[key] = ns
-            elif "bias" in p:
+            elif "bias" in p and "kernel_q" not in p:
                 x = x + p["bias"].astype(x.dtype)
             if layer.get("activation") == "leaky":
                 x = L.leaky_relu(x)
@@ -88,7 +98,7 @@ def _apply_sub_model(
 
 
 def apply_model(spec: ModelSpec, params, state, images, train: bool = False,
-                bn_frozen: tuple = (), remat: bool = False):
+                bn_frozen: tuple = (), remat: bool = False, conv_observer=None):
     """Forward pass. Returns (list of head outputs [B,g,g,3,5+nc], new_state).
 
     ``images``: NHWC float batch. Output order = config order of sub-models
@@ -112,7 +122,8 @@ def apply_model(spec: ModelSpec, params, state, images, train: bool = False,
 
         def run(sm_params, sm_state, inputs, _sm=sm, _bn=bn_train):
             return _apply_sub_model(_sm, sm_params, sm_state, inputs,
-                                    spec.nclasses, train, _bn)
+                                    spec.nclasses, train, _bn,
+                                    conv_observer=conv_observer)
 
         if remat and train:
             run = jax.checkpoint(run)
