@@ -1,0 +1,63 @@
+"""Interop: unmodified reference run/model configs work with this framework."""
+
+import inspect
+import os
+
+import pytest
+import yaml
+
+from .conftest import REFERENCE, has_reference
+
+pytestmark = pytest.mark.skipif(not has_reference(), reason="reference mount unavailable")
+
+
+def test_reference_model_configs_parse():
+    import jax
+    from yolov3_tpu.models import parse_model_config, init_model
+    from yolov3_tpu.models.network import head_grid_sizes
+
+    cwd = os.getcwd()
+    os.chdir(REFERENCE)
+    try:
+        for arch, nc in (("yolov3", 80), ("yolov3_tiny", 7)):
+            spec = parse_model_config(f"config/models/{arch}/model.yaml", nc)
+            assert head_grid_sizes(spec, 416)[0] == 13
+    finally:
+        os.chdir(cwd)
+
+
+def test_reference_train_config_binds_to_train_app():
+    """The reference train_config.yaml **splats cleanly into our Train app."""
+    from yolov3_tpu.apps.train_app import Train
+
+    with open(os.path.join(REFERENCE, "config/train_config.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    sig = inspect.signature(Train.__call__)
+    # must bind without error (kwargs catch-all covers extras)
+    sig.bind(None, **cfg)
+
+
+def test_reference_detect_config_binds_to_inference_app():
+    from yolov3_tpu.apps.inference_app import Inference
+
+    with open(os.path.join(REFERENCE, "config/detect_config.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    sig = inspect.signature(Inference.__call__)
+    sig.bind(None, **cfg)
+
+
+def test_reference_evaluate_config_schema():
+    with open(os.path.join(REFERENCE, "config/evaluate_config.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    assert "evaluate_nms_score_thresholds" in cfg
+
+
+def test_reference_compact_config_parses():
+    from yolov3_tpu.models.compact_spec import parse_compact_model_config
+
+    spec = parse_compact_model_config(
+        os.path.join(REFERENCE, "config/models/yolov3_tiny/yolov3_tiny.yaml"), nclasses=7
+    )
+    nconvs = sum(1 for l in spec.sub_models[0].layers if l.kind == "convolutional")
+    assert nconvs == 13
+    assert len(spec.output_sub_models) == 1

@@ -21,6 +21,33 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def initialize_multihost(coordinator_address=None, num_processes=None, process_id=None):
+    """Join a multi-host JAX runtime (DCN between hosts, ICI within).
+
+    Call once per process before any other JAX use. With no arguments, JAX
+    auto-detects the TPU pod environment. After initialization,
+    ``jax.devices()`` spans all hosts and ``make_mesh()`` builds the global
+    mesh — the batch-sharded train step then runs unchanged, with each host
+    feeding its local shard (use ``local_batch_slice`` to find it).
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def local_batch_slice(global_batch: int):
+    """This process's slice of the global batch under 1-D data sharding."""
+    import jax
+
+    per = global_batch // jax.process_count()
+    start = jax.process_index() * per
+    return slice(start, start + per)
+
+
 def make_mesh(devices=None, axes: dict | None = None) -> Mesh:
     """Build a mesh. Default: all devices on the 'data' axis."""
     if devices is None:
