@@ -225,6 +225,8 @@ class Train:
                 val_losses.append(float(metrics["total_loss"]))
                 if verbose:
                     self._log_metrics(epoch, "val", batch_i, learning_rate, metrics)
+            if val_losses:
+                log.info(f"epoch {epoch}: val_loss {float(np.mean(val_losses)):.4f}")
 
             if early_stopping and val_losses:
                 val_loss = float(np.mean(val_losses))
