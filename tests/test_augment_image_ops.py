@@ -1,0 +1,75 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolov3_tpu.ops.augment import augment_batch
+from yolov3_tpu.ops.image import letterbox_resize as jnp_letterbox, resize_bilinear as jnp_resize
+from yolov3_tpu.data.image import letterbox_resize as np_letterbox, resize_bilinear as np_resize
+
+
+def test_device_resize_matches_host():
+    rng = np.random.RandomState(0)
+    img = rng.rand(100, 150, 3).astype(np.float32)
+    a = np.asarray(jnp_resize(jnp.asarray(img), 64, 64))
+    b = np_resize(img, 64, 64)
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_device_letterbox_matches_host():
+    rng = np.random.RandomState(1)
+    img = rng.rand(123, 77, 3).astype(np.float32)
+    a = np.asarray(jnp_letterbox(jnp.asarray(img), 96, 96))
+    b = np_letterbox(img, 96, 96)
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def _batch(rng, b=4):
+    images = rng.rand(b, 64, 64, 3).astype(np.float32)
+    labels = np.zeros((b, 10, 6), np.float32)
+    labels[:, 0] = [0.2, 0.3, 0.5, 0.6, 1, 1]
+    labels[:, 1] = [0.6, 0.1, 0.9, 0.35, 1, 2]
+    return jnp.asarray(images), jnp.asarray(labels)
+
+
+def test_augment_shapes_and_ranges():
+    images, labels = _batch(np.random.RandomState(0))
+    out_img, out_lab = augment_batch(images, labels, jax.random.PRNGKey(0))
+    assert out_img.shape == images.shape and out_lab.shape == labels.shape
+    out_img, out_lab = np.asarray(out_img), np.asarray(out_lab)
+    assert out_img.min() >= 0 and out_img.max() <= 1
+    # boxes stay normalized, padded rows stay zero
+    assert np.all(out_lab[:, :, :4] >= 0) and np.all(out_lab[:, :, :4] <= 1)
+    assert np.all(out_lab[:, 2:, :] == 0)
+
+
+def test_flip_only_mirrors_boxes():
+    images, labels = _batch(np.random.RandomState(1), b=32)
+    out_img, out_lab = augment_batch(images, labels, jax.random.PRNGKey(1),
+                                     scale_jitter=0.0, brightness=0.0, contrast=0.0)
+    out_img, out_lab = np.asarray(out_img), np.asarray(out_lab)
+    flipped = ~np.isclose(out_lab[:, 0, 0], 0.2)
+    assert flipped.any() and (~flipped).any()  # both branches exercised
+    for i in range(32):
+        if flipped[i]:
+            np.testing.assert_allclose(out_lab[i, 0, :4], [0.5, 0.3, 0.8, 0.6], rtol=1e-5)
+            np.testing.assert_allclose(out_img[i], np.asarray(images)[i, :, ::-1], rtol=1e-6)
+        else:
+            np.testing.assert_allclose(out_lab[i, 0, :4], [0.2, 0.3, 0.5, 0.6], rtol=1e-5)
+
+
+def test_augment_deterministic():
+    images, labels = _batch(np.random.RandomState(2))
+    a = augment_batch(images, labels, jax.random.PRNGKey(7))
+    b = augment_batch(images, labels, jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_coco_ap_accumulator():
+    from yolov3_tpu.eval.detections_evaluator import CocoAPAccumulator
+
+    acc = CocoAPAccumulator(1)
+    for _ in range(3):
+        acc.add_image([[0.1, 0.1, 0.5, 0.5]], [0], [0.9], [[0.1, 0.1, 0.5, 0.5]], [0])
+    aps, map5095, map50 = acc.compute()
+    np.testing.assert_allclose(map5095, 1.0)
+    np.testing.assert_allclose(map50, 1.0)

@@ -75,6 +75,7 @@ class Train:
         debug_nans=False,
         mixed_precision=False,
         remat=False,
+        augmentation=None,
         **kwargs,
     ):
         if not logging.getLogger().handlers:
@@ -164,6 +165,9 @@ class Train:
             mesh=mesh, bn_frozen=bn_frozen, trainable_mask=trainable_mask,
             compute_dtype=jnp.bfloat16 if mixed_precision else None,
             remat=remat,
+            augment=(augmentation if isinstance(augmentation, dict)
+                     else {} if augmentation else None),
+            seed=kwargs.get("seed", 0),
         )
         eval_step = make_eval_step(
             spec, anchors_table, grid_sizes, batch_size, mesh=mesh, bn_frozen=bn_frozen

@@ -221,3 +221,23 @@ def _np_iou_one(box, boxes):
 
 def average_precision_50(acc: APAccumulator):
     return acc.compute()
+
+
+class CocoAPAccumulator:
+    """COCO-style AP@[.5:.95] — ten IoU thresholds, averaged (extension;
+    the reference computes no AP at all)."""
+
+    def __init__(self, nclasses: int):
+        self.thresholds = [0.5 + 0.05 * i for i in range(10)]
+        self.accs = [APAccumulator(nclasses, t) for t in self.thresholds]
+
+    def add_image(self, pred_boxes, pred_classes, pred_scores, gt_boxes, gt_classes):
+        for acc in self.accs:
+            acc.add_image(pred_boxes, pred_classes, pred_scores, gt_boxes, gt_classes)
+
+    def compute(self):
+        """Returns (ap_per_class (nclasses,), mAP@[.5:.95], mAP@0.5)."""
+        per_thr = [acc.compute() for acc in self.accs]
+        aps = np.nanmean(np.stack([aps for aps, _ in per_thr]), axis=0)
+        map5095 = float(np.nanmean([m for _, m in per_thr]))
+        return aps, map5095, per_thr[0][1]

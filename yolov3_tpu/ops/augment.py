@@ -1,0 +1,91 @@
+"""Device-side training augmentation — new capability (the reference's DSL
+carries a ``jitter`` field it never uses; there is no augmentation anywhere
+in the reference).
+
+All transforms are static-shape jnp ops designed to run *inside* the jitted
+train step, keyed off the step counter — zero host work, identical cost on
+every step, and deterministic given the seed:
+
+  * random horizontal flip (boxes mirrored);
+  * random scale-and-shift ("zoom out" letterbox jitter): the image is
+    resized by s ∈ [1-jitter, 1] and placed at a random offset on a gray
+    canvas, boxes transformed accordingly — fixed output shape;
+  * brightness / contrast jitter.
+
+Each transform draws its own randomness per image (vmapped).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _flip_image_boxes(img, labels, do_flip):
+    flipped = jnp.where(do_flip, img[:, ::-1, :], img)
+    xmin, ymin, xmax, ymax, rest = (
+        labels[:, 0], labels[:, 1], labels[:, 2], labels[:, 3], labels[:, 4:]
+    )
+    fx_min = jnp.where(do_flip & (labels[:, 4] > 0), 1.0 - xmax, xmin)
+    fx_max = jnp.where(do_flip & (labels[:, 4] > 0), 1.0 - xmin, xmax)
+    new_labels = jnp.concatenate(
+        [fx_min[:, None], ymin[:, None], fx_max[:, None], ymax[:, None], rest], axis=1
+    )
+    return flipped, new_labels
+
+
+def _scale_shift(img, labels, scale, ox, oy, fill=0.5):
+    """Shrink image by `scale` and place at normalized offset (ox, oy) on a
+    same-size canvas — implemented as a single gather (reverse warp), so
+    shapes stay static for any traced scale/offset."""
+    h, w, _ = img.shape
+    ys = (jnp.arange(h) / h - oy) / scale  # canvas row → source row (normalized)
+    xs = (jnp.arange(w) / w - ox) / scale
+    yi = jnp.clip((ys * h), 0, h - 1)
+    xi = jnp.clip((xs * w), 0, w - 1)
+    valid_y = (ys >= 0) & (ys < 1.0)
+    valid_x = (xs >= 0) & (xs < 1.0)
+    gathered = img[yi.astype(jnp.int32)][:, xi.astype(jnp.int32)]
+    mask = (valid_y[:, None] & valid_x[None, :])[..., None]
+    out = jnp.where(mask, gathered, jnp.asarray(fill, img.dtype))
+
+    obj = labels[:, 4:5]
+    boxes = labels[:, :4] * scale + jnp.asarray([ox, oy, ox, oy])
+    boxes = jnp.clip(boxes, 0.0, 1.0) * obj  # padded rows stay zero
+    return out, jnp.concatenate([boxes, labels[:, 4:]], axis=1)
+
+
+def _jitter_colors(img, key, brightness, contrast):
+    kb, kc = jax.random.split(key)
+    b = jax.random.uniform(kb, (), minval=-brightness, maxval=brightness)
+    c = jax.random.uniform(kc, (), minval=1.0 - contrast, maxval=1.0 + contrast)
+    mean = jnp.mean(img)
+    return jnp.clip((img - mean) * c + mean + b, 0.0, 1.0)
+
+
+@partial(jax.jit, static_argnames=("flip", "scale_jitter", "brightness", "contrast"))
+def augment_batch(images, labels, rng_key, flip: bool = True,
+                  scale_jitter: float = 0.25, brightness: float = 0.1,
+                  contrast: float = 0.1):
+    """Augment a batch on device. images (B,H,W,3) in [0,1]; labels (B,M,6).
+
+    Returns (images, labels) with identical shapes.
+    """
+
+    def one(img, lab, key):
+        kf, ks, ko, kc = jax.random.split(key, 4)
+        if flip:
+            img, lab = _flip_image_boxes(img, lab, jax.random.bernoulli(kf))
+        if scale_jitter > 0:
+            s = jax.random.uniform(ks, (), minval=1.0 - scale_jitter, maxval=1.0)
+            omax = 1.0 - s
+            ox, oy = jax.random.uniform(ko, (2,), minval=0.0, maxval=1.0) * omax
+            img, lab = _scale_shift(img, lab, s, ox, oy)
+        if brightness > 0 or contrast > 0:
+            img = _jitter_colors(img, kc, brightness, contrast)
+        return img, lab
+
+    keys = jax.random.split(rng_key, images.shape[0])
+    return jax.vmap(one)(images, labels, keys)

@@ -77,13 +77,15 @@ def _loss_and_metrics(spec, params, bn_state, images, labels, anchors_table,
 
 def make_train_step(spec, anchors_table, grid_sizes, batch_size,
                     optimizer, mesh=None, bn_frozen=(), trainable_mask=None,
-                    compute_dtype=None, remat=False):
+                    compute_dtype=None, remat=False, augment=None, seed=0):
     """Returns step(train_state, images, labels) → (train_state, metrics).
 
     ``trainable_mask``: optional pytree of bools matching params — False
     leaves get zero gradient (transfer-learning freeze_train_list; with
     Adam a zero gradient yields an exactly-zero update, matching Keras's
     exclusion of non-trainable variables).
+    ``augment``: optional dict of ops/augment.py::augment_batch kwargs —
+    device-side flip/scale/color augmentation keyed off the step counter.
     """
     anchors_table = jnp.asarray(anchors_table, jnp.float32)
     grid_sizes = tuple(int(g) for g in grid_sizes)
@@ -95,8 +97,16 @@ def make_train_step(spec, anchors_table, grid_sizes, batch_size,
         compute_dtype=compute_dtype, remat=remat,
     )
 
+    aug_kwargs = dict(augment) if isinstance(augment, dict) else {}
+    base_key = jax.random.PRNGKey(seed)
+
     def step(train_state, images, labels):
         params = train_state["params"]
+        if augment is not None:
+            from ..ops.augment import augment_batch
+
+            key = jax.random.fold_in(base_key, train_state["step"])
+            images, labels = augment_batch(images, labels, key, **aug_kwargs)
         grad_fn = jax.value_and_grad(
             lambda p: loss_fn(p, train_state["bn_state"], images, labels),
             has_aux=True,
