@@ -17,10 +17,12 @@ if __name__ == "__main__":
     parser.add_argument("--max_eval_images", type=int, default=None,
                         help="limit evaluated images (reference hardcodes 20)")
     parser.add_argument("--no_map", action="store_true", help="skip mAP@0.5 computation")
+    parser.add_argument("--coco_map", action="store_true",
+                        help="report COCO-style mAP@[.5:.95] (10 IoU thresholds)")
     args = parser.parse_args()
     with open(args.evaluate_config, "r") as f:
         evaluate_config = yaml.safe_load(f)
     with open(args.detect_config, "r") as f:
         detect_config = yaml.safe_load(f)
     evaluate(evaluate_config, detect_config, max_eval_images=args.max_eval_images,
-             compute_map=not args.no_map)
+             compute_map=not args.no_map, coco_map=args.coco_map)

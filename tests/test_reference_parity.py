@@ -111,26 +111,35 @@ def test_nms_selected_indices_match_tf():
     import jax.numpy as jnp
     from yolov3_tpu.ops.nms import yolo_nms
 
-    rng = np.random.RandomState(0)
-    B, N, nclasses = 3, 400, 7
-    xy = rng.rand(B, N, 2) * 0.8
-    wh = rng.rand(B, N, 2) * 0.2 + 0.02
-    boxes = np.concatenate([xy, xy + wh], axis=-1).astype(np.float32)
-    conf = rng.rand(B, N, 1).astype(np.float32)
-    probs = rng.rand(B, N, nclasses).astype(np.float32)
+    for seed, iou_t, score_t, max_boxes in (
+        (0, 0.5, 0.3, 100), (1, 0.3, 0.0, 50), (2, 0.7, 0.6, 20), (3, 0.5, 0.9, 100),
+    ):
+        rng = np.random.RandomState(seed)
+        B, N, nclasses = 3, 400, 7
+        xy = rng.rand(B, N, 2) * 0.8
+        wh = rng.rand(B, N, 2) * 0.2 + 0.02
+        boxes = np.concatenate([xy, xy + wh], axis=-1).astype(np.float32)
+        # inject exact duplicates to exercise tie-breaking
+        boxes[:, 50] = boxes[:, 10]
+        conf = rng.rand(B, N, 1).astype(np.float32)
+        conf[:, 50] = conf[:, 10]
+        probs = rng.rand(B, N, nclasses).astype(np.float32)
+        probs[:, 50] = probs[:, 10]
 
-    scores = (conf[..., 0] * probs.max(-1)).astype(np.float32)
-    sel_ref, nv_ref = tf.image.non_max_suppression_padded(
-        boxes=tf.constant(boxes), scores=tf.constant(scores),
-        max_output_size=100, iou_threshold=0.5, score_threshold=0.3,
-        pad_to_max_output_size=True)
-    _, _, _, sel, nv = yolo_nms(jnp.asarray(boxes), jnp.asarray(conf), jnp.asarray(probs),
-                                max_boxes=100, iou_threshold=0.5, score_threshold=0.3)
-    np.testing.assert_array_equal(nv_ref.numpy(), np.asarray(nv))
-    for b in range(B):
-        np.testing.assert_array_equal(
-            sel_ref.numpy()[b][: nv_ref.numpy()[b]], np.asarray(sel)[b][: int(nv[b])]
-        )
+        scores = (conf[..., 0] * probs.max(-1)).astype(np.float32)
+        sel_ref, nv_ref = tf.image.non_max_suppression_padded(
+            boxes=tf.constant(boxes), scores=tf.constant(scores),
+            max_output_size=max_boxes, iou_threshold=iou_t, score_threshold=score_t,
+            pad_to_max_output_size=True)
+        _, _, _, sel, nv = yolo_nms(jnp.asarray(boxes), jnp.asarray(conf), jnp.asarray(probs),
+                                    max_boxes=max_boxes, iou_threshold=iou_t,
+                                    score_threshold=score_t)
+        np.testing.assert_array_equal(nv_ref.numpy(), np.asarray(nv), err_msg=f"seed {seed}")
+        for b in range(B):
+            np.testing.assert_array_equal(
+                sel_ref.numpy()[b][: nv_ref.numpy()[b]], np.asarray(sel)[b][: int(nv[b])],
+                err_msg=f"seed {seed} batch {b}",
+            )
 
 
 def test_forward_parity_tiny():

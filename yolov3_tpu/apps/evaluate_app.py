@@ -59,7 +59,8 @@ def _selected_to_padded(bboxes, class_idx, scores, selected, num_valid, max_boxe
 
 
 def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
-             evaluate_iou_threshold: float = 0.5, compute_map: bool = True):
+             evaluate_iou_threshold: float = 0.5, compute_map: bool = True,
+             coco_map: bool = False):
     thresholds = evaluate_config["evaluate_nms_score_thresholds"]
 
     anchors_table = get_anchors(detect_config["anchors_file"])
@@ -102,7 +103,13 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
     for score_threshold in thresholds:
         evaluator = EvaluateDetections(nclasses, evaluate_iou_threshold)
         evaluator_oneclass = EvaluateDetections(nclasses, evaluate_iou_threshold)
-        ap_acc = APAccumulator(nclasses, evaluate_iou_threshold) if compute_map else None
+        ap_acc = None
+        if coco_map:
+            from ..eval.detections_evaluator import CocoAPAccumulator
+
+            ap_acc = CocoAPAccumulator(nclasses)
+        elif compute_map:
+            ap_acc = APAccumulator(nclasses, evaluate_iou_threshold)
 
         for images, labels in batches():
             out = predict(jnp.asarray(images), jnp.float32(nms_iou_threshold),
@@ -137,10 +144,17 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
         print(f"\nrecall: {recall}, precision: {precision}")
         entry = {"score_threshold": score_threshold, "recall": recall, "precision": precision}
         if ap_acc is not None:
-            aps, mean_ap = ap_acc.compute()
-            print(f"mAP@0.5: {mean_ap:.4f}")
-            entry["ap_per_class"] = aps
-            entry["map50"] = mean_ap
+            if coco_map:
+                aps, map5095, map50 = ap_acc.compute()
+                print(f"mAP@[.5:.95]: {map5095:.4f}  mAP@0.5: {map50:.4f}")
+                entry["ap_per_class"] = aps
+                entry["map50"] = map50
+                entry["map50_95"] = map5095
+            else:
+                aps, mean_ap = ap_acc.compute()
+                print(f"mAP@0.5: {mean_ap:.4f}")
+                entry["ap_per_class"] = aps
+                entry["map50"] = mean_ap
         results.append(entry)
 
         np.save(f"preds_{score_threshold}", np.stack(evaluator.preds_histo))

@@ -99,6 +99,29 @@ def _nest(flat):
 
 
 # ---------------------------------------------------------------------------
+# Orbax interop (optional ecosystem backend)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint_orbax(path: str, tree):
+    """Save via orbax (gated import) — for interop with orbax-based tooling.
+    The native .npz format remains the primary, dependency-free format."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), tree)
+
+
+def load_checkpoint_orbax(path: str, like=None):
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if like is not None:
+            return ckptr.restore(os.path.abspath(path), item=like)
+        return ckptr.restore(os.path.abspath(path))
+
+
+# ---------------------------------------------------------------------------
 # Legacy Keras TF-format checkpoint reader
 # ---------------------------------------------------------------------------
 
