@@ -38,14 +38,39 @@ from ..io.resolve import load_weights, save_weights
 log = logging.getLogger(__name__)
 
 
-def model_summary(spec, params) -> str:
+def model_summary(spec, params, image_size=None) -> str:
+    """Keras-summary-style dump: per-sub-model layer table with kinds,
+    per-conv param counts, and (when image_size is given) output shapes
+    derived abstractly via eval_shape."""
     lines = [f'Model "{spec.output_stage}-staged" — {len(spec.sub_models)} sub-models']
     total = 0
     for sm in spec.sub_models:
         n = param_count(params.get(sm.name, {}))
         total += n
-        lines.append(f"  {sm.name}: {len(sm.layers)} layers, {n:,} params")
-    lines.append(f"Total params: {total:,}")
+        lines.append(f"\n{sm.name}: {len(sm.layers)} layers, {n:,} params")
+        for i, layer in enumerate(sm.layers):
+            desc = layer.kind
+            if layer.kind == "convolutional":
+                entry = params[sm.name][f"layer{i}"]
+                k = entry["kernel"].shape if "kernel" in entry else entry["kernel_q"].shape
+                nparams = param_count(entry)
+                desc += (f" {k[0]}x{k[1]} {k[2]}→{k[3]}"
+                         f" s{layer['stride']}"
+                         f"{' +bn' if 'bn' in entry else ''}"
+                         f" {layer.get('activation')}  ({nparams:,} params)")
+            elif layer.kind == "maxpool":
+                desc += f" {list(layer['size_xy'])}/{list(layer['stride_xy'])}"
+            elif layer.kind == "upsample":
+                desc += f" x{layer['stride']}"
+            elif layer.kind == "shortcut":
+                desc += f" from {layer['from']}"
+            lines.append(f"  [{i:3d}] {desc}")
+    lines.append(f"\nTotal params: {total:,}")
+    if image_size:
+        from ..models.network import head_grid_sizes
+
+        grids = head_grid_sizes(spec, image_size)
+        lines.append(f"Head grids @ {image_size}: {grids}")
     return "\n".join(lines)
 
 
@@ -93,7 +118,7 @@ class Train:
         params, bn_state = init_model(jax.random.PRNGKey(kwargs.get("seed", 0)), spec)
 
         with open("model_summary.txt", "w") as f:
-            f.write(model_summary(spec, params) + "\n")
+            f.write(model_summary(spec, params, image_size) + "\n")
 
         # --- transfer learning dispatch (reference train.py:160-166) ---
         trainable_mask = None
