@@ -19,13 +19,11 @@ from __future__ import annotations
 
 import logging
 import os
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import get_anchors, read_class_names, dir_filelist
+from ..config import get_anchors, dir_filelist
 from ..data.image import decode_image, letterbox_resize, resize_bilinear
 from ..data.tfrecord import parse_tfrecords
 from ..models import parse_model_config, init_model, apply_model, fold_batch_norm

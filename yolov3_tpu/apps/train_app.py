@@ -26,9 +26,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import count_file_lines, get_anchors, load_yaml
+from ..config import count_file_lines, get_anchors
 from ..data.pipeline import Batcher, DevicePrefetcher, create_dataset
-from ..models import parse_model_config, init_model, apply_model
+from ..models import parse_model_config, init_model
 from ..models.network import head_grid_sizes, param_count
 from ..models.transfer import do_transfer_learning
 from ..parallel.mesh import batch_sharding, make_mesh

@@ -19,7 +19,6 @@ max_bboxes (load_tfrecords.py:52-74).
 from __future__ import annotations
 
 import glob
-import io
 import os
 import struct
 
@@ -306,7 +305,6 @@ def parse_tfrecords(tfrecords_dir: str, image_size: int, max_bboxes: int,
     Decode is spread over a thread pool (the native decode path holds no
     GIL), order-preserving, with a bounded in-flight window.
     """
-    import os as _os
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
