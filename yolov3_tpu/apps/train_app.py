@@ -101,6 +101,7 @@ class Train:
         mixed_precision=False,
         remat=False,
         augmentation=None,
+        accum_steps=1,
         **kwargs,
     ):
         if not logging.getLogger().handlers:
@@ -193,6 +194,7 @@ class Train:
             augment=(augmentation if isinstance(augmentation, dict)
                      else {} if augmentation else None),
             seed=kwargs.get("seed", 0),
+            accum_steps=accum_steps,
         )
         eval_step = make_eval_step(
             spec, anchors_table, grid_sizes, batch_size, mesh=mesh, bn_frozen=bn_frozen

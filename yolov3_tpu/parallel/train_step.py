@@ -18,6 +18,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import optax
+from jax import lax
 
 from ..models.network import apply_model, l2_regularization
 from ..ops.assign import assign_targets
@@ -77,7 +78,8 @@ def _loss_and_metrics(spec, params, bn_state, images, labels, anchors_table,
 
 def make_train_step(spec, anchors_table, grid_sizes, batch_size,
                     optimizer, mesh=None, bn_frozen=(), trainable_mask=None,
-                    compute_dtype=None, remat=False, augment=None, seed=0):
+                    compute_dtype=None, remat=False, augment=None, seed=0,
+                    accum_steps: int = 1):
     """Returns step(train_state, images, labels) → (train_state, metrics).
 
     ``trainable_mask``: optional pytree of bools matching params — False
@@ -86,6 +88,11 @@ def make_train_step(spec, anchors_table, grid_sizes, batch_size,
     exclusion of non-trainable variables).
     ``augment``: optional dict of ops/augment.py::augment_batch kwargs —
     device-side flip/scale/color augmentation keyed off the step counter.
+    ``accum_steps``: split the batch into N microbatches scanned
+    sequentially, averaging gradients — effective batches beyond HBM
+    capacity (activations are per-microbatch; BN statistics too, so
+    BN behaves like microbatch-local BN — same caveat as any
+    grad-accumulation scheme).
     """
     anchors_table = jnp.asarray(anchors_table, jnp.float32)
     grid_sizes = tuple(int(g) for g in grid_sizes)
@@ -107,11 +114,54 @@ def make_train_step(spec, anchors_table, grid_sizes, batch_size,
 
             key = jax.random.fold_in(base_key, train_state["step"])
             images, labels = augment_batch(images, labels, key, **aug_kwargs)
-        grad_fn = jax.value_and_grad(
-            lambda p: loss_fn(p, train_state["bn_state"], images, labels),
-            has_aux=True,
-        )
-        (_, (new_bn, metrics)), grads = grad_fn(params)
+
+        if accum_steps > 1:
+            if batch_size % accum_steps:
+                raise ValueError(f"batch {batch_size} not divisible by accum_steps {accum_steps}")
+            micro = batch_size // accum_steps
+            # strided split (element i → microbatch i % accum) so each
+            # microbatch spans all devices evenly under batch sharding
+            def split(x):
+                return jnp.swapaxes(x.reshape(micro, accum_steps, *x.shape[1:]), 0, 1)
+
+            images_m = split(images)
+            labels_m = split(labels)
+
+            grad_fn = jax.value_and_grad(
+                lambda p, bn, im, lb: _loss_and_metrics(
+                    spec, p, bn, im, lb, anchors_table, grid_sizes,
+                    micro, tuple(bn_frozen), True, compute_dtype, remat,
+                ),
+                has_aux=True,
+            )
+
+            def body(carry, xs):
+                grads_acc, bn, metrics_acc = carry
+                im, lb = xs
+                (_, (new_bn, metrics)), grads = grad_fn(params, bn, im, lb)
+                grads_acc = jax.tree.map(lambda a, g: a + g, grads_acc, grads)
+                metrics_acc = jax.tree.map(lambda a, m: a + m, metrics_acc, metrics)
+                return (grads_acc, new_bn, metrics_acc), None
+
+            zeros_grads = jax.tree.map(jnp.zeros_like, params)
+            (_, (_, metrics_shape)), _ = jax.eval_shape(
+                grad_fn, params, train_state["bn_state"], images_m[0], labels_m[0]
+            )
+            zeros_metrics = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), metrics_shape
+            )
+            (grads, new_bn, metrics_sum), _ = lax.scan(
+                body, (zeros_grads, train_state["bn_state"], zeros_metrics),
+                (images_m, labels_m),
+            )
+            grads = jax.tree.map(lambda g: g / accum_steps, grads)
+            metrics = jax.tree.map(lambda m: m / accum_steps, metrics_sum)
+        else:
+            grad_fn = jax.value_and_grad(
+                lambda p: loss_fn(p, train_state["bn_state"], images, labels),
+                has_aux=True,
+            )
+            (_, (new_bn, metrics)), grads = grad_fn(params)
         if trainable_mask is not None:
             grads = jax.tree.map(
                 lambda g, m: g * m, grads,
