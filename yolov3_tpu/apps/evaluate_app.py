@@ -155,6 +155,9 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
                 print(f"mAP@0.5: {mean_ap:.4f}")
                 entry["ap_per_class"] = aps
                 entry["map50"] = mean_ap
+            for name, ap in zip(class_names, aps):
+                if not np.isnan(ap):
+                    print(f"  AP[{name}]: {ap:.4f}")
         results.append(entry)
 
         np.save(f"preds_{score_threshold}", np.stack(evaluator.preds_histo))
