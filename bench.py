@@ -22,6 +22,7 @@ value / 2000 and vs_baseline ≥ 2 meets the north star.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -34,6 +35,9 @@ BATCH = 128
 IMAGE_SIZE = 416
 ITERS = 8    # staged input buffers per pass
 PASSES = 3   # best pass reported (peak sustained throughput)
+# BENCH_QUANTIZE=int8 opts into the PTQ serving tier (+~20%; accuracy needs
+# per-model validation, so the default headline stays bf16)
+QUANTIZE = os.environ.get("BENCH_QUANTIZE", "")
 
 
 def main():
@@ -44,8 +48,17 @@ def main():
     spec = parse_model_config("config/models/yolov3/model.yaml", nclasses=80)
     params, state = init_model(jax.random.PRNGKey(0), spec)
     folded = fold_batch_norm(params, state)
-    # bf16 weights/activations; convs accumulate fp32 on the MXU
-    folded16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), folded)
+    if QUANTIZE == "int8":
+        from yolov3_tpu.ops.quantize import calibrate_activation_scales, quantize_params
+
+        rng0 = np.random.RandomState(7)
+        absmax = calibrate_activation_scales(
+            spec, folded, [rng0.rand(8, IMAGE_SIZE, IMAGE_SIZE, 3).astype(np.float32)]
+        )
+        folded16 = quantize_params(spec, folded, absmax)
+    else:
+        # bf16 weights/activations; convs accumulate fp32 on the MXU
+        folded16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), folded)
     anchors = np.abs(np.random.RandomState(0).randn(3, 3, 2)).astype(np.float32) * 0.2 + 0.05
 
     @jax.jit
