@@ -142,21 +142,65 @@ def test_nms_selected_indices_match_tf():
             )
 
 
-def test_forward_parity_tiny():
-    """Full-model forward parity vs the reference Keras graph (weights
-    copied across) — conv stacking tolerance covers oneDNN round-off."""
-    import tensorflow as tf
-    import yaml
-    import jax
-    import jax.numpy as jnp
-    from tensorflow.keras import Input
-    from core.parse_model import ParseModel
-    from yolov3_tpu.models import parse_model_config, init_model, apply_model
+def test_nms_exact_at_eval_sweep_thresholds():
+    """Full YOLOv3-416 candidate count (N=10,647) at the reference eval
+    sweep's low thresholds (0.004 / 0.1 — config/evaluate_config.yaml),
+    where far more than the default K=512 candidates beat the threshold.
+    yolo_nms_exact must escalate K and stay index-exact vs TF's full NMS.
 
-    cfg = "config/models/yolov3_tiny/model.yaml"
-    with open(cfg) as f:
-        mc = yaml.safe_load(f)
-    ref = ParseModel().build_model(Input(shape=(None, None, 3)), nclasses=7, **mc)
+    Two regimes: scattered boxes (keeps hit max_boxes inside top-K — no
+    escalation needed, exactness condition short-circuits) and heavily
+    clustered boxes (few survivors, thousands of candidates above threshold
+    — forces escalation up to K=N)."""
+    import tensorflow as tf
+    import jax.numpy as jnp
+    from yolov3_tpu.ops.nms import yolo_nms_exact
+
+    N, nclasses, max_boxes = 10647, 80, 100
+
+    def run_case(boxes, conf, probs, score_t, iou_t=0.5):
+        scores = (conf[..., 0] * probs.max(-1)).astype(np.float32)
+        sel_ref, nv_ref = tf.image.non_max_suppression_padded(
+            boxes=tf.constant(boxes), scores=tf.constant(scores),
+            max_output_size=max_boxes, iou_threshold=iou_t,
+            score_threshold=score_t, pad_to_max_output_size=True)
+        _, _, _, sel, nv = yolo_nms_exact(
+            jnp.asarray(boxes), jnp.asarray(conf), jnp.asarray(probs),
+            max_boxes=max_boxes, iou_threshold=iou_t, score_threshold=score_t)
+        np.testing.assert_array_equal(nv_ref.numpy(), np.asarray(nv))
+        for b in range(boxes.shape[0]):
+            np.testing.assert_array_equal(
+                sel_ref.numpy()[b][: nv_ref.numpy()[b]],
+                np.asarray(sel)[b][: int(nv[b])])
+
+    # scattered: nearly everything beats 0.004, keeps reach max_boxes fast
+    rng = np.random.RandomState(11)
+    xy = rng.rand(1, N, 2) * 0.9
+    wh = rng.rand(1, N, 2) * 0.08 + 0.01
+    boxes = np.concatenate([xy, xy + wh], axis=-1).astype(np.float32)
+    conf = (rng.rand(1, N, 1) * 0.9 + 0.1).astype(np.float32)
+    probs = rng.rand(1, N, nclasses).astype(np.float32)
+    for score_t in (0.004, 0.1):
+        run_case(boxes, conf, probs, score_t)
+
+    # clustered: ~30 tight clusters → ≪ max_boxes survivors, escalation to N
+    centers = rng.rand(30, 2) * 0.9
+    idx = rng.randint(0, 30, N)
+    cxy = centers[idx] + rng.randn(N, 2) * 1e-4
+    cwh = np.full((N, 2), 0.08) + rng.randn(N, 2) * 1e-4
+    cboxes = np.concatenate([cxy, cxy + cwh], axis=-1)[None].astype(np.float32)
+    run_case(cboxes, conf, probs, 0.004)
+
+
+def _copy_ref_weights(ref, spec, params, state):
+    """Copy a reference Keras model's weights into our (params, state) trees.
+
+    Keras auto-numbers conv2d/batch_normalization layers globally across the
+    nested sub-models in creation order (the property convert.py's ordering
+    walk relies on, reference convert.py:93-137), which matches our spec's
+    config-order conv walk exactly.
+    """
+    import jax.numpy as jnp
 
     def idx_of(name, prefix):
         rest = name[len(prefix):]
@@ -173,8 +217,6 @@ def test_forward_parity_tiny():
     convs.sort(key=lambda l: idx_of(l.name, "conv2d"))
     bns.sort(key=lambda l: idx_of(l.name, "batch_normalization"))
 
-    spec = parse_model_config(cfg, nclasses=7)
-    params, state = init_model(jax.random.PRNGKey(0), spec)
     ci = bi = 0
     for sm in spec.sub_models:
         for i, layer in enumerate(sm.layers):
@@ -191,6 +233,28 @@ def test_forward_parity_tiny():
                 state[sm.name][f"layer{i}"]["var"] = jnp.asarray(bl.moving_variance.numpy())
             else:
                 entry["bias"] = jnp.asarray(kl.bias.numpy())
+    assert ci == len(convs) and bi == len(bns)
+    return params, state
+
+
+def test_forward_parity_tiny():
+    """Full-model forward parity vs the reference Keras graph (weights
+    copied across) — conv stacking tolerance covers oneDNN round-off."""
+    import yaml
+    import jax
+    import jax.numpy as jnp
+    from tensorflow.keras import Input
+    from core.parse_model import ParseModel
+    from yolov3_tpu.models import parse_model_config, init_model, apply_model
+
+    cfg = "config/models/yolov3_tiny/model.yaml"
+    with open(cfg) as f:
+        mc = yaml.safe_load(f)
+    ref = ParseModel().build_model(Input(shape=(None, None, 3)), nclasses=7, **mc)
+
+    spec = parse_model_config(cfg, nclasses=7)
+    params, state = init_model(jax.random.PRNGKey(0), spec)
+    params, state = _copy_ref_weights(ref, spec, params, state)
 
     rng = np.random.RandomState(0)
     x = rng.rand(1, 416, 416, 3).astype(np.float32)
@@ -200,3 +264,76 @@ def test_forward_parity_tiny():
         ro, jo = np.asarray(ro), np.asarray(jo)
         rel = np.abs(ro - jo).max() / (np.abs(ro).max() + 1e-9)
         assert rel < 3e-2, f"forward rel diff {rel}"
+
+
+@pytest.fixture(scope="module")
+def full_model_taps():
+    """Reference full YOLOv3-80 graph + per-sub-model activation taps on a
+    fixed input, plus our spec/params with the reference weights copied in.
+    Built once for the whole parametrized activation-parity sweep."""
+    import tensorflow as tf
+    import yaml
+    import jax
+    from tensorflow.keras import Input
+    from core.parse_model import ParseModel
+    from yolov3_tpu.models import parse_model_config, init_model
+
+    cfg = "config/models/yolov3/model.yaml"
+    with open(cfg) as f:
+        mc = yaml.safe_load(f)
+    ref = ParseModel().build_model(Input(shape=(416, 416, 3)), nclasses=80, **mc)
+
+    spec = parse_model_config(cfg, nclasses=80)
+    params, state = init_model(jax.random.PRNGKey(0), spec)
+    params, state = _copy_ref_weights(ref, spec, params, state)
+
+    # collect reference activation taps by running each nested Keras
+    # sub-model eagerly in config (topological) order, wiring inputs the way
+    # build_model does (parse_model.py:279-314) — this also cross-checks our
+    # spec's (name, entry_index) wiring against the reference graph
+    sub_layers = {l.name: l for l in ref.layers if isinstance(l, tf.keras.Model)}
+    assert set(sub_layers) == {sm.name for sm in spec.sub_models}
+    rng = np.random.RandomState(7)
+    x = rng.rand(1, 416, 416, 3).astype(np.float32)
+    ref_taps = {}
+    for sm in spec.sub_models:
+        if sm.inputs is None:
+            inp = x
+        else:
+            srcs = [ref_taps[name][entry_index] for name, entry_index in sm.inputs]
+            inp = srcs[0] if len(srcs) == 1 else srcs
+        out = sub_layers[sm.name](inp, training=False)
+        ref_taps[sm.name] = [np.asarray(t) for t in (out if isinstance(out, list) else [out])]
+    return spec, params, state, x, ref_taps
+
+
+FULL_SUB_MODELS = ["backbone", "neck0", "head0", "neck1", "head1", "neck2", "head2"]
+
+
+@pytest.mark.parametrize("sm_name", FULL_SUB_MODELS)
+def test_full_model_activation_parity(full_model_taps, sm_name):
+    """Per-sub-model activation parity on full YOLOv3-80, fp32, ≤1e-3
+    relative per tap (SURVEY §7 step 3). Each sub-model is fed the
+    *reference's* input activations, so round-off does not compound across
+    the Darknet-53 stack — this isolates any semantic divergence to the
+    sub-model under test. Match: reference core/parse_model.py:279-314."""
+    import jax.numpy as jnp
+    from yolov3_tpu.models.network import _apply_sub_model
+
+    spec, params, state, x, ref_taps = full_model_taps
+    sm = next(s for s in spec.sub_models if s.name == sm_name)
+
+    if sm.inputs is None:
+        inputs_entry = jnp.asarray(x)
+    else:
+        srcs = [jnp.asarray(ref_taps[name][entry_index]) for name, entry_index in sm.inputs]
+        inputs_entry = srcs[0] if len(srcs) == 1 else srcs
+
+    outs, _ = _apply_sub_model(sm, params[sm.name], state.get(sm.name, {}),
+                               inputs_entry, spec.nclasses, train=False)
+    ref_outs = ref_taps[sm_name]
+    assert len(outs) == len(ref_outs)
+    for tap_i, (ro, jo) in enumerate(zip(ref_outs, outs)):
+        jo = np.asarray(jo)
+        rel = np.abs(ro - jo).max() / (np.abs(ro).max() + 1e-9)
+        assert rel <= 1e-3, f"{sm_name} tap {tap_i}: rel diff {rel:.2e}"

@@ -29,7 +29,7 @@ from ..eval.detections_evaluator import APAccumulator, EvaluateDetections
 from ..io.resolve import load_weights
 from ..models import parse_model_config, init_model, apply_model, fold_batch_norm
 from ..ops.decode import yolo_decode
-from ..ops.nms import yolo_nms
+from ..ops.nms import DEFAULT_NUM_CANDIDATES, nms_inexact_mask, yolo_nms
 
 log = logging.getLogger(__name__)
 
@@ -38,12 +38,16 @@ def make_sweepable_predictor(spec, params, bn_state, anchors_table, nclasses, yo
     run_params = fold_batch_norm(params, bn_state)
     anchors = jnp.asarray(anchors_table, jnp.float32)
 
-    @jax.jit
-    def predict(images, iou_threshold, score_threshold):
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("num_candidates",))
+    def predict(images, iou_threshold, score_threshold,
+                num_candidates=DEFAULT_NUM_CANDIDATES):
         outputs, _ = apply_model(spec, run_params, {}, images, train=False)
         boxes, conf, probs = yolo_decode(outputs, anchors, nclasses)
         return yolo_nms(boxes, conf, probs, max_boxes=yolo_max_boxes,
-                        iou_threshold=iou_threshold, score_threshold=score_threshold)
+                        iou_threshold=iou_threshold, score_threshold=score_threshold,
+                        num_candidates=num_candidates)
 
     return predict
 
@@ -112,8 +116,22 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
             ap_acc = APAccumulator(nclasses, evaluate_iou_threshold)
 
         for images, labels in batches():
+            # exact-K policy: start at the default K and escalate (doubling,
+            # recompiling at most log2(N/K) times per process) whenever the
+            # top-K truncation could have diverged from TF's full NMS — makes
+            # the low-threshold sweep entries (0.004) exact, not approximate.
+            k = DEFAULT_NUM_CANDIDATES
             out = predict(jnp.asarray(images), jnp.float32(nms_iou_threshold),
-                          jnp.float32(score_threshold))
+                          jnp.float32(score_threshold), num_candidates=k)
+            n_cand = out[2].shape[1]
+            while k < n_cand and nms_inexact_mask(
+                out[2], out[4], yolo_max_boxes, score_threshold, k
+            ).any():
+                k = min(n_cand, k * 2)
+                log.info(f"NMS top-K escalation to K={k} at score_threshold="
+                         f"{score_threshold} (exactness guarantee)")
+                out = predict(jnp.asarray(images), jnp.float32(nms_iou_threshold),
+                              jnp.float32(score_threshold), num_candidates=k)
             bboxes, class_idx, scores, selected, num_valid = map(np.asarray, out)
             pb, pc, ps, pv = _selected_to_padded(
                 bboxes, class_idx, scores, selected, num_valid, yolo_max_boxes

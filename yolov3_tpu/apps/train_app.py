@@ -218,11 +218,13 @@ class Train:
         best_val = float("inf")
         best_weights = None
         patience_left = early_stop_patience
+        last_epoch = start_epoch - 1
 
         from ..utils.profiling import StepTimer, trace
 
         timer = StepTimer(images_per_step=batch_size)
         for epoch in range(start_epoch, epochs + 1):
+            last_epoch = epoch
             t0 = time.time()
             nbatches = 0
             with trace(profile_trace_dir if epoch == start_epoch else None):
@@ -271,15 +273,20 @@ class Train:
                     if patience_left <= 0:
                         log.info(f"early stopping at epoch {epoch} (best val_loss {best_val:.4f})")
                         if best_weights is not None:
+                            # restore best weights INTO the train state so the
+                            # final save below persists them (not the worse
+                            # last-epoch weights) — Keras EarlyStopping
+                            # restore_best_weights semantics (train.py:209-212)
                             p, s = jax.tree.map(jnp.asarray, best_weights)
-                            save_weights(spec, p, s, output_checkpoints_path, step=epoch)
+                            train_state = dict(train_state, params=p, bn_state=s)
                         break
 
         # final save so short runs always leave a checkpoint (the reference
-        # only saves every weights_save_peroid epochs — train.py:76-78)
+        # only saves every weights_save_peroid epochs — train.py:76-78);
+        # stamped with the actual last epoch so resume accounting stays correct
         save_weights(spec, train_state["params"], train_state["bn_state"],
-                     output_checkpoints_path, step=epochs)
-        save_checkpoint(state_path, train_state, step=epochs)
+                     output_checkpoints_path, step=last_epoch)
+        save_checkpoint(state_path, train_state, step=last_epoch)
         if timer.durations:
             log.info(f"step timing: {timer.stats()}")
         return train_state

@@ -62,8 +62,32 @@ def safe_eval_expr(expr: str, variables: dict | None = None):
 
 
 def load_yaml(path: str) -> dict:
+    """Load a run/model config. ``$VAR`` / ``${VAR}`` in string values are
+    expanded from the environment (extension over the reference: lets bundled
+    configs point at external image corpora relocatably, e.g.
+    ``${PETS_DATA_ROOT}/train``)."""
     with open(path, "r") as stream:
-        return yaml.safe_load(stream)
+        return _expandvars(yaml.safe_load(stream))
+
+
+_VAR_DEFAULT_RE = None
+
+
+def _expandvars(obj):
+    if isinstance(obj, str) and "$" in obj:
+        global _VAR_DEFAULT_RE
+        if _VAR_DEFAULT_RE is None:
+            import re
+
+            _VAR_DEFAULT_RE = re.compile(r"\$\{(\w+):-([^}]*)\}")
+        # shell-style ${VAR:-default} first, then plain $VAR / ${VAR}
+        obj = _VAR_DEFAULT_RE.sub(lambda m: os.environ.get(m.group(1), m.group(2)), obj)
+        return os.path.expandvars(obj)
+    if isinstance(obj, dict):
+        return {k: _expandvars(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_expandvars(v) for v in obj]
+    return obj
 
 
 def get_anchors(anchors_file: str) -> np.ndarray:

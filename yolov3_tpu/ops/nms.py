@@ -23,6 +23,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 DEFAULT_NUM_CANDIDATES = 512
@@ -88,8 +89,20 @@ def yolo_nms(
 
     Args:
       bboxes: (B, N, 4) xyxy; confidence: (B, N, 1); class_probs: (B, N, nc).
-      use_pallas: force the Pallas VMEM sweep (None = auto: TPU backend and
-        K a lane multiple).
+      use_pallas: None/False = the fused `lax.fori_loop` sweep (default —
+        measured faster inside the full detect pipeline, where XLA schedules
+        the scan well); True = explicit opt-in to the Pallas VMEM sweep
+        kernel (~11× faster standalone; requires TPU backend and K % 128 == 0,
+        silently falls back to the scan otherwise). See PERF.md "NMS
+        implementations".
+
+    Exactness: results are index-exact vs TF's non_max_suppression_padded
+    whenever the top-`num_candidates` truncation cannot change the outcome —
+    i.e. `max_boxes` detections are found within the top-K candidates, or
+    fewer than K candidates beat `score_threshold`. For very low thresholds
+    (e.g. the 0.004 entry of the reference eval sweep) use
+    ``yolo_nms_exact``, which escalates K until that condition provably
+    holds.
 
     Returns (matching reference yolo_nms outputs):
       bboxes (B, N, 4), class_indices (B, N), scores (B, N),
@@ -131,6 +144,56 @@ def yolo_nms(
         order, keep, cand_scores
     )
     return bboxes, class_indices, scores, sel, nvalid
+
+
+def nms_inexact_mask(scores, num_valid, max_boxes: int, score_threshold: float, k: int):
+    """Per-image bool: True where top-K truncation MAY have changed the result.
+
+    A greedy class-agnostic NMS restricted to the top-K candidates is exact
+    unless BOTH (a) fewer than max_boxes detections were kept within the
+    top-K, and (b) candidates beyond rank K still beat the score threshold —
+    lower-scored boxes can never suppress higher-scored ones, so truncation
+    only matters if TF's full sweep would have kept scanning past K.
+    """
+    scores = np.asarray(scores)
+    num_valid = np.asarray(num_valid)
+    above = (scores > score_threshold).sum(axis=1)
+    return (num_valid < max_boxes) & (above > k)
+
+
+def yolo_nms_exact(
+    bboxes,
+    confidence,
+    class_probs,
+    max_boxes: int = 100,
+    iou_threshold: float = 0.5,
+    score_threshold: float = 0.1,
+    num_candidates: int = DEFAULT_NUM_CANDIDATES,
+):
+    """Host-side driver guaranteeing index-exact parity with TF's *full* NMS.
+
+    Runs ``yolo_nms`` and, when the top-K truncation could have altered the
+    result (see ``nms_inexact_mask``), doubles K (lane-aligned buckets, so at
+    most log2(N/K0) recompiles per process) and reruns, up to K = N. Used by
+    the evaluate app so the reference's low-threshold sweep entries
+    (config/evaluate_config.yaml: 0.004) are exact, not "exact when K
+    suffices".
+    """
+    n = bboxes.shape[1]
+    k = min(num_candidates, n)
+    while True:
+        out = yolo_nms(
+            bboxes, confidence, class_probs, max_boxes=max_boxes,
+            iou_threshold=iou_threshold, score_threshold=score_threshold,
+            num_candidates=k,
+        )
+        if k >= n:
+            return out
+        _, _, scores, _, nvalid = out
+        thr = float(score_threshold)
+        if not nms_inexact_mask(scores, nvalid, max_boxes, thr, k).any():
+            return out
+        k = min(n, k * 2)
 
 
 def gather_detections(bboxes, class_indices, scores, selected, num_valid):

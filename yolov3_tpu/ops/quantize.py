@@ -25,6 +25,25 @@ import numpy as np
 from ..models.network import apply_model
 
 
+def head_conv_taps(spec):
+    """(sm_name, layer_key) of the conv feeding each yolo layer.
+
+    Walks backwards from EVERY yolo layer to its nearest preceding conv —
+    correct for both per-sub-model head configs (one yolo per sub-model)
+    and compact single-file specs where several heads share one sub-model.
+    """
+    taps = set()
+    for sm in spec.sub_models:
+        for j, layer in enumerate(sm.layers):
+            if layer.kind != "yolo":
+                continue
+            for i in range(j - 1, -1, -1):
+                if sm.layers[i].kind == "convolutional":
+                    taps.add((sm.name, f"layer{i}"))
+                    break
+    return taps
+
+
 def calibrate_activation_scales(spec, folded_params, images_batches):
     """Per-conv input abs-max over calibration batches → {(sm, layer): float}."""
     taps_order = []
@@ -58,12 +77,7 @@ def quantize_params(spec, folded_params, act_absmax, skip_final_convs: bool = Tr
     calibrated absmax / 127. Convs flagged for skipping (final head convs)
     keep their fp params.
     """
-    final_convs = set()
-    if skip_final_convs:
-        for sm in spec.sub_models:
-            conv_idx = [i for i, l in enumerate(sm.layers) if l.kind == "convolutional"]
-            if conv_idx and any(l.kind == "yolo" for l in sm.layers):
-                final_convs.add((sm.name, f"layer{conv_idx[-1]}"))
+    final_convs = head_conv_taps(spec) if skip_final_convs else set()
 
     qparams = {}
     for sm in spec.sub_models:
