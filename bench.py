@@ -48,14 +48,15 @@ def main():
     spec = parse_model_config("config/models/yolov3/model.yaml", nclasses=80)
     params, state = init_model(jax.random.PRNGKey(0), spec)
     folded = fold_batch_norm(params, state)
-    if QUANTIZE == "int8":
-        from yolov3_tpu.ops.quantize import calibrate_activation_scales, quantize_params
+    if QUANTIZE in ("int8", "int8_chain"):
+        from yolov3_tpu.ops.quantize import calibrate_scales, quantize_params
 
         rng0 = np.random.RandomState(7)
-        absmax = calibrate_activation_scales(
+        in_am, out_am = calibrate_scales(
             spec, folded, [rng0.rand(8, IMAGE_SIZE, IMAGE_SIZE, 3).astype(np.float32)]
         )
-        folded16 = quantize_params(spec, folded, absmax)
+        folded16 = quantize_params(spec, folded, in_am,
+                                   out_absmax=out_am if QUANTIZE == "int8_chain" else None)
     else:
         # bf16 weights/activations; convs accumulate fp32 on the MXU
         folded16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), folded)

@@ -41,21 +41,22 @@ def make_predictor(spec, params, bn_state, anchors_table, nclasses,
                    quantize=None, calibration_batches=None):
     """Build the fused forward+decode+NMS jitted function.
 
-    ``quantize='int8'`` enables the experimental int8 PTQ serving tier
-    (per-channel weights, calibrated activation scales — ~20% over bf16 on
-    v5e; validate mAP for your weights). Requires ``calibration_batches``.
+    ``quantize='int8'`` enables the int8 PTQ serving tier: per-channel
+    weights, calibrated activation scales, activations chained int8
+    end-to-end between convs (requant fused into each conv's epilogue;
+    validate mAP for your weights). Requires ``calibration_batches``.
     """
     run_params = fold_batch_norm(params, bn_state) if fold_bn else params
     run_state = {} if fold_bn else bn_state
     if quantize == "int8":
         if not fold_bn:
             raise ValueError("int8 quantization requires fold_bn=True")
-        from ..ops.quantize import calibrate_activation_scales, quantize_params
+        from ..ops.quantize import calibrate_scales, quantize_params
 
         if not calibration_batches:
             raise ValueError("int8 quantization needs calibration_batches")
-        absmax = calibrate_activation_scales(spec, run_params, calibration_batches)
-        run_params = quantize_params(spec, run_params, absmax)
+        in_absmax, out_absmax = calibrate_scales(spec, run_params, calibration_batches)
+        run_params = quantize_params(spec, run_params, in_absmax, out_absmax=out_absmax)
         compute_dtype = None
     if compute_dtype is not None:
         run_params = jax.tree.map(lambda x: x.astype(compute_dtype), run_params)

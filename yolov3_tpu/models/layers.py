@@ -16,6 +16,8 @@ accumulate in fp32 on the MXU.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -25,6 +27,44 @@ BN_MOMENTUM = 0.99
 LEAKY_SLOPE = 0.1
 
 _DIMSPEC = ("NHWC", "HWIO", "NHWC")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class QAct:
+    """Quantized activation flowing between layers: symmetric int8 + scale.
+
+    fp value = q * scale. Keeping the int8 representation *between* conv
+    kernels (instead of materializing bf16 and re-quantizing at the next
+    conv) halves activation HBM traffic and removes the per-conv VPU
+    quantize round-trip — the requant is fused into the producing conv's
+    epilogue by XLA.
+
+    Deliberately NOT a tuple subclass: the interpreter distinguishes
+    single activations from multi-input lists with isinstance checks.
+    """
+
+    q: jax.Array      # int8
+    scale: jax.Array  # f32 scalar
+
+
+def dequantize(x: QAct, dtype=jnp.float32):
+    return (x.q.astype(jnp.float32) * x.scale).astype(dtype)
+
+
+def requantize(y32, out_scale):
+    """fp32 → symmetric int8 at the given scale (round-half-even like np/TF)."""
+    q = jnp.clip(jnp.round(y32 / out_scale), -127, 127).astype(jnp.int8)
+    return QAct(q, out_scale)
+
+
+def add_requant(a: QAct, b: QAct, out_scale):
+    """Fused shortcut: dequant both int8 inputs, add in fp32, requant.
+
+    One elementwise XLA fusion — loads 2×int8, writes 1×int8.
+    """
+    y32 = a.q.astype(jnp.float32) * a.scale + b.q.astype(jnp.float32) * b.scale
+    return requantize(y32, out_scale)
 
 
 def conv2d(x, kernel, stride: int, pad: int):
@@ -51,16 +91,27 @@ def conv2d(x, kernel, stride: int, pad: int):
     )
 
 
-def conv2d_int8(x, qparams, stride: int, pad: int):
+def conv2d_int8(x, qparams, stride: int, pad: int, leaky: bool = False,
+                fp_dtype=jnp.float32):
     """Quantized conv: int8 weights × int8 activations → int32 MXU, rescale.
 
     qparams: kernel_q int8 (kh,kw,cin,cout); w_scale (cout,) f32 per-channel
-    weight scale; in_scale () f32 activation scale (calibrated absmax/127);
-    bias (cout,) f32 (BN pre-folded). Output dtype follows the input's.
+    weight scale; in_scale () f32 activation scale (calibrated absmax/127,
+    used only when ``x`` is a fp array); bias (cout,) f32 (BN pre-folded);
+    optional out_scale () f32 — when present the epilogue (bias + leaky)
+    requantizes and a ``QAct`` int8 activation is returned, keeping conv
+    chains int8 end-to-end.
+
+    ``x``: fp array (quantized here with in_scale) or QAct (consumed
+    directly — a calibrated producer out_scale IS this conv's input scale,
+    so no requant happens on linear conv→conv edges).
     """
-    in_scale = qparams["in_scale"]
-    inv = 1.0 / in_scale
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -127, 127).astype(jnp.int8)
+    if isinstance(x, QAct):
+        xq, in_scale = x.q, x.scale
+    else:
+        in_scale = qparams["in_scale"]
+        fp_dtype = x.dtype
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / in_scale), -127, 127).astype(jnp.int8)
     if stride > 1:
         padding = [(1, 0), (1, 0)]
     elif pad == 1:
@@ -69,17 +120,27 @@ def conv2d_int8(x, qparams, stride: int, pad: int):
         padding = [(p, k - 1 - p), (p, k - 1 - p)]
     else:
         padding = [(0, 0), (0, 0)]
+    # f32 output: the MXU still takes the s8×s8 fast path and accumulates
+    # exactly in int32; converting on writeout (instead of materializing the
+    # s32 accumulator and converting in a separate fusion) halves the
+    # accumulator HBM traffic. f32 holds the exact sums up to 2^24 (products
+    # ≤ 127² ≈ 2^14 over ≤ 9·1024 terms ⇒ ~2^27 worst case — ≤1ulp off,
+    # far below the int8 quantization noise).
     acc = lax.conv_general_dilated(
         xq,
         qparams["kernel_q"],
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=_DIMSPEC,
-        preferred_element_type=jnp.int32,
+        preferred_element_type=jnp.float32,
     )
     scale = (qparams["w_scale"] * in_scale).astype(jnp.float32)
-    y = acc.astype(jnp.float32) * scale + qparams["bias"]
-    return y.astype(x.dtype)
+    y = acc * scale + qparams["bias"]
+    if leaky:
+        y = leaky_relu(y)
+    if "out_scale" in qparams:
+        return requantize(y, qparams["out_scale"])
+    return y.astype(fp_dtype)
 
 
 def batch_norm(x, bn_params, bn_state, train: bool, momentum=BN_MOMENTUM, eps=BN_EPS):
@@ -120,7 +181,10 @@ def max_pool(x, size_xy, stride_xy, padding: str):
     pads = _pool_same_pads(x.shape, size_xy, stride_xy) if padding.lower() == "same" else [(0, 0), (0, 0)]
     # init must be a Python scalar literal — an Array init makes lax lower to
     # the generic reduce_window primitive, which has no autodiff rule
-    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        neg_inf = -jnp.inf
+    else:
+        neg_inf = x.dtype.type(jnp.iinfo(x.dtype).min)
     return lax.reduce_window(
         x,
         neg_inf,

@@ -24,8 +24,18 @@ from . import layers as L
 from .spec import LayerSpec, ModelSpec, SubModelSpec
 
 
-def _route_sources(layer: LayerSpec, inputs_entry, layer_outs):
-    """Reference core/parse_model.py:102-140 route semantics."""
+def _deq(x, fp_dtype):
+    """QAct → fp; fp arrays pass through."""
+    return L.dequantize(x, fp_dtype) if isinstance(x, L.QAct) else x
+
+
+def _route_sources(layer: LayerSpec, inputs_entry, layer_outs, fp_dtype):
+    """Reference core/parse_model.py:102-140 route semantics.
+
+    Quantized (QAct) sources are dequantized — a concat of int8 tensors
+    with different scales has no single-scale representation; the dequant
+    fuses into the concat's consumers.
+    """
     source = dict(layer["source"])
     selected = []
     if "layers" in source:
@@ -38,7 +48,7 @@ def _route_sources(layer: LayerSpec, inputs_entry, layer_outs):
     if len(selected) == 1:
         return selected[0]
     if len(selected) == 2:
-        return jnp.concatenate(selected, axis=-1)
+        return jnp.concatenate([_deq(s, fp_dtype) for s in selected], axis=-1)
     raise ValueError(f"Invalid number of route sources: {len(selected)}")
 
 
@@ -51,14 +61,25 @@ def _apply_sub_model(
     train: bool,
     bn_train: bool = True,
     conv_observer=None,
+    out_observer=None,
+    fp_dtype=None,
 ):
     """Run one sub-model's layer list; returns (selected outputs, new bn state).
 
     ``conv_observer(sm_name, layer_key, x)`` is called with each conv's
-    input activation (traced value) — used by int8 calibration.
+    input activation and ``out_observer(sm_name, layer_key, x)`` with each
+    layer's output (traced values) — used by int8 calibration.
+
+    Activations may flow as ``layers.QAct`` (int8 + scale) between quantized
+    convs: a conv whose params carry ``out_scale`` emits QAct; shortcut adds
+    two QActs with a fused dequant-add-requant when its param entry carries
+    ``out_scale``; upsample/maxpool pass int8 through unchanged (both are
+    scale-preserving / monotone); routes and unquantized convs dequantize.
     """
     # the running 'x' starts as the (single) input, like Keras chaining
     x = inputs_entry if not isinstance(inputs_entry, (list, tuple)) else inputs_entry[0]
+    if fp_dtype is None:
+        fp_dtype = x.q.dtype if isinstance(x, L.QAct) else x.dtype
     layer_outs = []
     new_state = {}
     for i, layer in enumerate(sm.layers):
@@ -66,39 +87,59 @@ def _apply_sub_model(
         if layer.kind == "convolutional":
             p = sm_params[key]
             if conv_observer is not None:
-                conv_observer(sm.name, key, x)
+                conv_observer(sm.name, key, _deq(x, fp_dtype))
+            leaky = layer.get("activation") == "leaky"
             if "kernel_q" in p:
-                x = L.conv2d_int8(x, p, layer["stride"], layer.get("pad", 1))
+                x = L.conv2d_int8(x, p, layer["stride"], layer.get("pad", 1),
+                                  leaky=leaky, fp_dtype=fp_dtype)
             else:
+                x = _deq(x, fp_dtype)
                 x = L.conv2d(x, p["kernel"], layer["stride"], layer.get("pad", 1))
-            if "bn" in p:
-                x, ns = L.batch_norm(x, p["bn"], sm_state[key], train and bn_train)
-                new_state[key] = ns
-            elif "bias" in p and "kernel_q" not in p:
-                x = x + p["bias"].astype(x.dtype)
-            if layer.get("activation") == "leaky":
-                x = L.leaky_relu(x)
+                if "bn" in p:
+                    x, ns = L.batch_norm(x, p["bn"], sm_state[key], train and bn_train)
+                    new_state[key] = ns
+                elif "bias" in p:
+                    x = x + p["bias"].astype(x.dtype)
+                if leaky:
+                    x = L.leaky_relu(x)
         elif layer.kind == "shortcut":
-            x = layer_outs[layer["from"]] + x
+            other = layer_outs[layer["from"]]
+            qentry = sm_params.get(key)
+            if (isinstance(x, L.QAct) and isinstance(other, L.QAct)
+                    and qentry is not None and "out_scale" in qentry):
+                x = L.add_requant(other, x, qentry["out_scale"])
+            else:
+                x = _deq(other, fp_dtype) + _deq(x, fp_dtype)
         elif layer.kind == "route":
-            x = _route_sources(layer, inputs_entry, layer_outs)
+            x = _route_sources(layer, inputs_entry, layer_outs, fp_dtype)
         elif layer.kind == "upsample":
-            x = L.upsample_nearest(x, layer["stride"])
+            if isinstance(x, L.QAct):
+                x = L.QAct(L.upsample_nearest(x.q, layer["stride"]), x.scale)
+            else:
+                x = L.upsample_nearest(x, layer["stride"])
         elif layer.kind == "maxpool":
-            x = L.max_pool(x, list(layer["size_xy"]), list(layer["stride_xy"]), layer["padding"])
+            args = (list(layer["size_xy"]), list(layer["stride_xy"]), layer["padding"])
+            if isinstance(x, L.QAct):
+                x = L.QAct(L.max_pool(x.q, *args), x.scale)
+            else:
+                x = L.max_pool(x, *args)
         elif layer.kind == "yolo":
+            x = _deq(x, fp_dtype)
             b, h, w, c = x.shape
             # raw logits, no activation (reference parse_model.py:209-211)
             x = x.reshape(b, h, w, 3, 5 + nclasses)
         else:
             raise ValueError(f"unknown layer kind {layer.kind}")
+        if out_observer is not None:
+            out_observer(sm.name, key, _deq(x, fp_dtype))
         layer_outs.append(x)
     outputs = [layer_outs[i] for i in sm.outputs_layers]
     return outputs, new_state
 
 
 def apply_model(spec: ModelSpec, params, state, images, train: bool = False,
-                bn_frozen: tuple = (), remat: bool = False, conv_observer=None):
+                bn_frozen: tuple = (), remat: bool = False, conv_observer=None,
+                out_observer=None):
     """Forward pass. Returns (list of head outputs [B,g,g,3,5+nc], new_state).
 
     ``images``: NHWC float batch. Output order = config order of sub-models
@@ -112,6 +153,7 @@ def apply_model(spec: ModelSpec, params, state, images, train: bool = False,
     """
     produced = {}
     new_state = {}
+    fp_dtype = images.dtype
     for sm in spec.sub_models:
         if sm.inputs is None:
             inputs_entry = images
@@ -123,7 +165,9 @@ def apply_model(spec: ModelSpec, params, state, images, train: bool = False,
         def run(sm_params, sm_state, inputs, _sm=sm, _bn=bn_train):
             return _apply_sub_model(_sm, sm_params, sm_state, inputs,
                                     spec.nclasses, train, _bn,
-                                    conv_observer=conv_observer)
+                                    conv_observer=conv_observer,
+                                    out_observer=out_observer,
+                                    fp_dtype=fp_dtype)
 
         if remat and train:
             run = jax.checkpoint(run)

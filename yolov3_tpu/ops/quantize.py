@@ -44,38 +44,57 @@ def head_conv_taps(spec):
     return taps
 
 
+def calibrate_scales(spec, folded_params, images_batches):
+    """One jitted calibration pass → (conv-input absmax, layer-output absmax).
+
+    Input absmax keys: (sm_name, layer_key) of each conv's input tensor.
+    Output absmax keys: (sm_name, layer_key) of EVERY layer's output (after
+    activation) — used as the requant scale when conv chains stay int8.
+    """
+
+    def fwd(params, images):
+        in_taps, out_taps = {}, {}
+
+        def in_obs(sm_name, layer_key, x):
+            in_taps[(sm_name, layer_key)] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+
+        def out_obs(sm_name, layer_key, x):
+            out_taps[(sm_name, layer_key)] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+
+        apply_model(spec, params, {}, images, train=False,
+                    conv_observer=in_obs, out_observer=out_obs)
+        return in_taps, out_taps
+
+    fwd = jax.jit(fwd)
+    in_absmax: dict = {}
+    out_absmax: dict = {}
+    for images in images_batches:
+        in_taps, out_taps = fwd(folded_params, jnp.asarray(images))
+        for acc, taps in ((in_absmax, in_taps), (out_absmax, out_taps)):
+            for key, val in taps.items():
+                acc[key] = max(acc.get(key, 0.0), float(val))
+    return in_absmax, out_absmax
+
+
 def calibrate_activation_scales(spec, folded_params, images_batches):
     """Per-conv input abs-max over calibration batches → {(sm, layer): float}."""
-    taps_order = []
-
-    def make_forward():
-        def fwd(params, images):
-            taps = {}
-
-            def observer(sm_name, layer_key, x):
-                taps[(sm_name, layer_key)] = jnp.max(jnp.abs(x.astype(jnp.float32)))
-
-            apply_model(spec, params, {}, images, train=False, conv_observer=observer)
-            return taps
-
-        return jax.jit(fwd)
-
-    fwd = make_forward()
-    absmax: dict = {}
-    for images in images_batches:
-        taps = fwd(folded_params, jnp.asarray(images))
-        for key, val in taps.items():
-            val = float(val)
-            absmax[key] = max(absmax.get(key, 0.0), val)
-    return absmax
+    return calibrate_scales(spec, folded_params, images_batches)[0]
 
 
-def quantize_params(spec, folded_params, act_absmax, skip_final_convs: bool = True):
+def quantize_params(spec, folded_params, act_absmax, skip_final_convs: bool = True,
+                    out_absmax=None):
     """BN-folded params → int8-quantized params.
 
     Per-output-channel symmetric weight quantization; activation scale =
     calibrated absmax / 127. Convs flagged for skipping (final head convs)
     keep their fp params.
+
+    With ``out_absmax`` (layer-output absmax from ``calibrate_scales``),
+    chain mode: each quantized conv additionally carries ``out_scale`` so
+    its epilogue emits int8 directly, and each shortcut layer gets an
+    ``out_scale`` entry for the fused dequant-add-requant — activations
+    then stay int8 end-to-end between convs (half the HBM traffic of bf16,
+    no per-conv VPU quantize round-trip).
     """
     final_convs = head_conv_taps(spec) if skip_final_convs else set()
 
@@ -98,5 +117,13 @@ def quantize_params(spec, folded_params, act_absmax, skip_final_convs: bool = Tr
                 "bias": jnp.asarray(entry.get("bias", np.zeros(kernel.shape[-1], np.float32)),
                                     jnp.float32),
             }
+            if out_absmax is not None and out_absmax.get(tap, 0.0) > 0:
+                sm_q[key]["out_scale"] = jnp.float32(out_absmax[tap] / 127.0)
+        if out_absmax is not None:
+            for i, layer in enumerate(sm.layers):
+                key = f"layer{i}"
+                tap = (sm.name, key)
+                if layer.kind == "shortcut" and out_absmax.get(tap, 0.0) > 0:
+                    sm_q[key] = {"out_scale": jnp.float32(out_absmax[tap] / 127.0)}
         qparams[sm.name] = sm_q
     return qparams
