@@ -41,6 +41,24 @@ def test_param_count_matches_keras_yolov3(full_spec):
     assert state_count(state) == 52_608
 
 
+def test_thin_heads_variant_builds_and_matches_keras(repo_root):
+    """Bundled thin-heads wiring (reference model_thin_heads.yaml: necks
+    export [-2,-1]; heads consume the final tap, the next neck's lateral
+    branch the -2 tap). Golden 62,165,597 = the reference Keras
+    count_params() of its thin-heads build @ 80 classes (incl. BN stats)."""
+    cwd = os.getcwd()
+    os.chdir(repo_root)
+    try:
+        spec = parse_model_config(
+            os.path.join(repo_root, "config", "models", "yolov3", "model_thin_heads.yaml"),
+            nclasses=80)
+    finally:
+        os.chdir(cwd)
+    params, state = init_model(jax.random.PRNGKey(0), spec)
+    assert param_count(params) + state_count(state) == 62_165_597
+    assert head_grid_sizes(spec, 416) == (13, 26, 52)
+
+
 def test_forward_shapes_tiny(tiny_spec):
     params, state = init_model(jax.random.PRNGKey(0), tiny_spec)
     x = jnp.zeros((2, 416, 416, 3))
