@@ -42,13 +42,17 @@ def make_predictor(spec, params, bn_state, anchors_table, nclasses,
     """Build the fused forward+decode+NMS jitted function.
 
     ``quantize='int8'`` enables the int8 PTQ serving tier: per-channel
-    weights, calibrated activation scales, activations chained int8
-    end-to-end between convs (requant fused into each conv's epilogue;
-    validate mAP for your weights). Requires ``calibration_batches``.
+    weights, calibrated per-tensor activation scales (validate mAP for your
+    weights — tools/int8_accuracy_gate.py). ``quantize='int8_chain'`` keeps
+    activations int8 end-to-end between convs (requant in each conv's
+    epilogue) — equivalent accuracy, measured ~2-3% slower on v5e because
+    XLA already fuses the dequant→leaky→requant chain between convs into
+    one elementwise kernel, and the explicit QAct boundaries perturb its
+    fusion choices (PERF.md). Both require ``calibration_batches``.
     """
     run_params = fold_batch_norm(params, bn_state) if fold_bn else params
     run_state = {} if fold_bn else bn_state
-    if quantize == "int8":
+    if quantize in ("int8", "int8_chain"):
         if not fold_bn:
             raise ValueError("int8 quantization requires fold_bn=True")
         from ..ops.quantize import calibrate_scales, quantize_params
@@ -56,7 +60,9 @@ def make_predictor(spec, params, bn_state, anchors_table, nclasses,
         if not calibration_batches:
             raise ValueError("int8 quantization needs calibration_batches")
         in_absmax, out_absmax = calibrate_scales(spec, run_params, calibration_batches)
-        run_params = quantize_params(spec, run_params, in_absmax, out_absmax=out_absmax)
+        run_params = quantize_params(
+            spec, run_params, in_absmax,
+            out_absmax=out_absmax if quantize == "int8_chain" else None)
         compute_dtype = None
     if compute_dtype is not None:
         run_params = jax.tree.map(lambda x: x.astype(compute_dtype), run_params)

@@ -87,7 +87,12 @@ def yolo_loss_terms(y_true, y_pred, anchors, nclasses: int):
     m = jnp.max(logp, axis=-1, keepdims=True)
     lse = (m + jnp.log(jnp.sum(jnp.exp(logp - m), axis=-1, keepdims=True)))[..., 0]
     cls_idx = true_class_idx[..., 0].astype(jnp.int32)
-    picked = jnp.take_along_axis(logp, cls_idx[..., None], axis=-1)[..., 0]
+    # one-hot masked reduce instead of take_along_axis: a gather over the
+    # (B,g,g,3,nc) tensor costs ~17 ms/step on the 52-grid alone (TPU
+    # gathers don't vectorize); the == mask + sum fuses into the logp
+    # fusion. Identical values — cls_idx ∈ [0, nc) one-hot-selects.
+    class_ids = lax.broadcasted_iota(jnp.int32, logp.shape, logp.ndim - 1)
+    picked = jnp.sum(jnp.where(class_ids == cls_idx[..., None], logp, 0.0), axis=-1)
     class_loss = obj_mask * (lse - picked)
     class_loss = jnp.sum(class_loss)
 

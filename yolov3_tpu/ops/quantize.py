@@ -82,7 +82,7 @@ def calibrate_activation_scales(spec, folded_params, images_batches):
 
 
 def quantize_params(spec, folded_params, act_absmax, skip_final_convs: bool = True,
-                    out_absmax=None):
+                    out_absmax=None, min_k2cin: int = 0):
     """BN-folded params → int8-quantized params.
 
     Per-output-channel symmetric weight quantization; activation scale =
@@ -95,8 +95,25 @@ def quantize_params(spec, folded_params, act_absmax, skip_final_convs: bool = Tr
     ``out_scale`` entry for the fused dequant-add-requant — activations
     then stay int8 end-to-end between convs (half the HBM traffic of bf16,
     no per-conv VPU quantize round-trip).
+
+    ``min_k2cin``: skip convs whose contraction size kernel²·Cin is below
+    this threshold. Those layers are HBM-bound, not MXU-bound — int8 pays a
+    separate requant kernel (s32 accumulator read + s8 write) that costs
+    more than the halved MXU time saves, so high-resolution/low-channel
+    stem layers run faster in bf16 (mixed-precision inference).
     """
     final_convs = head_conv_taps(spec) if skip_final_convs else set()
+    if min_k2cin:
+        from ..models.network import _infer_channels
+
+        per_layer = _infer_channels(spec)
+        for sm in spec.sub_models:
+            for i, layer in enumerate(sm.layers):
+                if layer.kind != "convolutional":
+                    continue
+                cin, _ = per_layer[(sm.name, i)]
+                if layer["size"] ** 2 * cin < min_k2cin:
+                    final_convs.add((sm.name, f"layer{i}"))
 
     qparams = {}
     for sm in spec.sub_models:
