@@ -42,6 +42,28 @@ def test_int8_predictor_runs(setup):
     assert np.isfinite(scores).all()
 
 
+def test_int8_chain_predictor_matches_int8(setup):
+    """quantize='int8_chain' (QAct end-to-end int8) must agree with the
+    per-conv 'int8' tier — same calibration, same math modulo one extra
+    rounding per edge."""
+    spec, params, state = setup
+    rng = np.random.RandomState(1)
+    calib = [rng.rand(2, 96, 96, 3).astype(np.float32)]
+    x = jnp.asarray(rng.rand(2, 96, 96, 3), jnp.float32)
+    outs = {}
+    for tier in ("int8", "int8_chain"):
+        predict = make_predictor(
+            spec, params, state, ANCHORS, 3, 10, 0.5, 0.05,
+            quantize=tier, calibration_batches=calib,
+        )
+        bboxes, class_idx, scores, selected, num_valid = map(np.asarray, predict(x))
+        assert np.isfinite(scores).all()
+        outs[tier] = scores
+    # same candidate score field within quantization noise
+    a, b = outs["int8"], outs["int8_chain"]
+    assert np.abs(a - b).max() < 0.1
+
+
 def test_int8_predictor_requires_calibration(setup):
     spec, params, state = setup
     with pytest.raises(ValueError, match="calibration"):
