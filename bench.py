@@ -25,6 +25,14 @@ import json
 import os
 import time
 
+# +2% on v5e: more scoped VMEM for XLA's conv tiling. Must be in the env
+# before the TPU client initializes — the import of jax below may already
+# have happened (site hooks), but libtpu reads this at first backend use.
+if "xla_tpu_scoped_vmem_limit_kib" not in os.environ.get("LIBTPU_INIT_ARGS", ""):
+    os.environ["LIBTPU_INIT_ARGS"] = (
+        os.environ.get("LIBTPU_INIT_ARGS", "") + " --xla_tpu_scoped_vmem_limit_kib=65536"
+    ).strip()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
