@@ -6,14 +6,17 @@ gather, end-to-end on device.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Methodology notes:
-  * inputs are pre-staged in HBM (a real pipeline overlaps host→device
-    copies; and on the tunneled dev setup the data plane is MB/s-slow, so
-    including transfers would benchmark the tunnel, not the chip);
-  * completion is forced by fetching a checksum that depends on every
-    iteration's compact outputs — block_until_ready alone does not
-    guarantee remote execution completed on the tunneled platform;
-  * per-iteration outputs are the compact (B,100) detection tensors a
-    serving path actually ships off-chip.
+  * a uint8 image buffer is pre-staged in HBM and each iteration's input is
+    derived from it on device (a real pipeline overlaps host→device copies;
+    on the tunneled dev setup the data plane is MB/s-slow, so including
+    transfers would benchmark the tunnel, not the chip). uint8-in /255
+    in-graph matches what a serving path receives;
+  * each timed pass is ONE dispatch: a lax.scan over ITERS batches whose
+    per-iteration scalar checksums (reductions of the compact (B,100)
+    detection outputs) are accumulated and fetched once — forcing full
+    remote execution (block_until_ready alone does not guarantee completion
+    on the tunneled platform) while amortizing the ~4 ms/dispatch and
+    ~25 ms/fetch tunnel overheads that otherwise mask device rate.
 
 Baseline: the reference publishes no numbers (BASELINE.md). North star is
 ≥2× H100 img/s/chip; we take 2,000 img/s as the H100 reference point for
@@ -41,7 +44,7 @@ H100_IMAGES_PER_SEC = 2000.0
 
 BATCH = 128
 IMAGE_SIZE = 416
-ITERS = 8    # staged input buffers per pass
+ITERS = 32   # batches per pass (per-iter inputs derived on device; amortizes dispatch)
 PASSES = 3   # best pass reported (peak sustained throughput)
 # Headline default = the int8 PTQ serving tier (per-channel weights,
 # calibrated activation scales): +40% over bf16 on v5e, and it passed the
@@ -72,13 +75,17 @@ def main():
         )
         folded16 = quantize_params(spec, folded, in_am,
                                    out_absmax=out_am if QUANTIZE == "int8_chain" else None)
+        # bit-exact space-to-depth stem rewrite (ops/s2d.py): stem device
+        # time 4.94 → 3.02 ms at B=128 on v5e
+        from yolov3_tpu.ops.s2d import s2d_stem
+
+        spec, folded16 = s2d_stem(spec, folded16)
     else:
         # bf16 weights/activations; convs accumulate fp32 on the MXU
         folded16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), folded)
     anchors = np.abs(np.random.RandomState(0).randn(3, 3, 2)).astype(np.float32) * 0.2 + 0.05
 
-    @jax.jit
-    def predict(p, images):
+    def predict_one(p, images):
         outs, _ = apply_model(spec, p, {}, images.astype(jnp.bfloat16), train=False)
         if PATH == "fused":
             from yolov3_tpu.ops.detect import detect
@@ -93,21 +100,36 @@ def main():
                                num_candidates=256)
             det_boxes, det_classes, det_scores, valid = gather_detections(*nms_out)
         # scalar checksum forces full execution on fetch
-        checksum = jnp.sum(det_boxes) + jnp.sum(det_scores) + jnp.sum(valid)
-        return det_boxes, det_classes, det_scores, valid, checksum
+        return jnp.sum(det_boxes) + jnp.sum(det_scores) + jnp.sum(valid)
+
+    @jax.jit
+    def predict_pass(p, base_u8):
+        # ONE dispatch per pass: scan ITERS batches through the full
+        # pipeline, accumulating the scalar checksums — per-dispatch tunnel
+        # overhead (~4 ms/batch when dispatching each batch separately) is
+        # amortized to nothing. Each iteration's uint8 images are derived
+        # on device from the staged buffer (wraparound add of the index —
+        # distinct inputs at ~0.2 ms/iter; staging ITERS full buffers
+        # through the ~MB/s tunnel data plane would benchmark the tunnel).
+        # Normalize /255 happens in-graph: a serving path receives uint8.
+        def body(carry, i):
+            xu = base_u8 + i.astype(jnp.uint8)
+            images = xu.astype(jnp.float32) * (1.0 / 255.0)
+            return carry + predict_one(p, images), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0),
+                                jnp.arange(ITERS, dtype=jnp.int32))
+        return total
 
     rng = np.random.RandomState(0)
-    base = jax.device_put(rng.rand(BATCH, IMAGE_SIZE, IMAGE_SIZE, 3).astype(np.float32))
-    perturb = jax.jit(lambda x, i: x * (1.0 + 1e-4 * i))  # distinct inputs, derived on device
-    xs = [perturb(base, jnp.float32(i)) for i in range(ITERS)]
-    jax.block_until_ready(xs)
-    _ = float(predict(folded16, xs[0])[-1])  # compile + warm + verify
+    base_u8 = jax.device_put(
+        rng.randint(0, 256, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3)).astype(np.uint8))
+    _ = float(predict_pass(folded16, base_u8))  # compile + warm + verify + stage-sync
 
     best = float("inf")
     for _ in range(PASSES):
         t0 = time.perf_counter()
-        checksums = [predict(folded16, x)[-1] for x in xs]
-        total = float(jnp.sum(jnp.stack(checksums)))  # one sync per pass
+        total = float(predict_pass(folded16, base_u8))  # dispatch + scalar fetch
         best = min(best, time.perf_counter() - t0)
         assert np.isfinite(total)
 

@@ -63,6 +63,10 @@ def make_predictor(spec, params, bn_state, anchors_table, nclasses,
         run_params = quantize_params(
             spec, run_params, in_absmax,
             out_absmax=out_absmax if quantize == "int8_chain" else None)
+        # bit-exact stem rewrite (no-op for non-Darknet stems) — ops/s2d.py
+        from ..ops.s2d import s2d_stem
+
+        spec, run_params = s2d_stem(spec, run_params)
         compute_dtype = None
     if compute_dtype is not None:
         run_params = jax.tree.map(lambda x: x.astype(compute_dtype), run_params)

@@ -73,9 +73,16 @@ def add_requant(a: QAct, b: QAct, out_scale):
     return requantize(y32, out_scale)
 
 
-def conv2d(x, kernel, stride: int, pad: int):
-    """Darknet-style conv. kernel: (kh, kw, cin, cout)."""
-    if stride > 1:
+def conv2d(x, kernel, stride: int, pad: int, explicit_pad=None):
+    """Darknet-style conv. kernel: (kh, kw, cin, cout).
+
+    ``explicit_pad``: ((top, bottom), (left, right)) override used by
+    geometry-rewriting transforms (ops/s2d.py) whose padding does not fit
+    the Darknet stride-1-SAME / stride-2-topleft vocabulary.
+    """
+    if explicit_pad is not None:
+        padding = [tuple(explicit_pad[0]), tuple(explicit_pad[1])]
+    elif stride > 1:
         # ZeroPadding2D(((1, 0), (1, 0))) + VALID — top/left pad only.
         padding = [(1, 0), (1, 0)]
     elif pad == 1:
@@ -98,7 +105,7 @@ def conv2d(x, kernel, stride: int, pad: int):
 
 
 def conv2d_int8(x, qparams, stride: int, pad: int, leaky: bool = False,
-                fp_dtype=jnp.float32):
+                fp_dtype=jnp.float32, explicit_pad=None):
     """Quantized conv: int8 weights × int8 activations → int32 MXU, rescale.
 
     qparams: kernel_q int8 (kh,kw,cin,cout); w_scale (cout,) f32 per-channel
@@ -118,7 +125,9 @@ def conv2d_int8(x, qparams, stride: int, pad: int, leaky: bool = False,
         in_scale = qparams["in_scale"]
         fp_dtype = x.dtype
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) / in_scale), -127, 127).astype(jnp.int8)
-    if stride > 1:
+    if explicit_pad is not None:
+        padding = [tuple(explicit_pad[0]), tuple(explicit_pad[1])]
+    elif stride > 1:
         padding = [(1, 0), (1, 0)]
     elif pad == 1:
         k = qparams["kernel_q"].shape[0]

@@ -89,12 +89,14 @@ def _apply_sub_model(
             if conv_observer is not None:
                 conv_observer(sm.name, key, _deq(x, fp_dtype))
             leaky = layer.get("activation") == "leaky"
+            ep = layer.get("explicit_pad")
             if "kernel_q" in p:
                 x = L.conv2d_int8(x, p, layer["stride"], layer.get("pad", 1),
-                                  leaky=leaky, fp_dtype=fp_dtype)
+                                  leaky=leaky, fp_dtype=fp_dtype, explicit_pad=ep)
             else:
                 x = _deq(x, fp_dtype)
-                x = L.conv2d(x, p["kernel"], layer["stride"], layer.get("pad", 1))
+                x = L.conv2d(x, p["kernel"], layer["stride"], layer.get("pad", 1),
+                             explicit_pad=ep)
                 if "bn" in p:
                     x, ns = L.batch_norm(x, p["bn"], sm_state[key], train and bn_train)
                     new_state[key] = ns
