@@ -90,3 +90,65 @@ def test_sync_bn_over_global_batch(setup):
     m1 = np.asarray(ts1["bn_state"]["backbone"]["layer1"]["mean"])
     mN = np.asarray(tsN["bn_state"]["backbone"]["layer1"]["mean"])
     np.testing.assert_allclose(m1, mN, rtol=1e-4)
+
+
+def test_sharded_predictor_matches_single_device(setup):
+    """Batch-sharded DP serving (make_predictor(mesh=...)): outputs must be
+    identical to the single-device predictor — the pipeline is per-image
+    independent, so sharding may not change any value."""
+    from yolov3_tpu.apps.inference_app import make_predictor
+
+    spec, params, state = setup
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.rand(8, 96, 96, 3).astype(np.float32))
+
+    kw = dict(anchors_table=ANCHORS, nclasses=3, yolo_max_boxes=20,
+              nms_iou_threshold=0.5, nms_score_threshold=0.1)
+    p1 = make_predictor(spec, params, state, **kw)
+    pN = make_predictor(spec, params, state, mesh=make_mesh(), **kw)
+
+    out1 = p1(images)
+    outN = pN(images)
+    for a, b in zip(out1, outN):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-5)
+    # the sharded outputs really are distributed over the data axis
+    shardings = {d.device for d in outN[0].addressable_shards}
+    assert len(shardings) == 8
+
+
+def test_sharded_int8_predictor_matches_single_device(setup):
+    """DP serving composes with the int8 tier (and its S2D stem rewrite):
+    tiny has no rewritable stem (no-op) but the quantized path must still
+    shard cleanly."""
+    from yolov3_tpu.apps.inference_app import make_predictor
+
+    spec, params, state = setup
+    rng = np.random.RandomState(2)
+    images = jnp.asarray(rng.rand(8, 96, 96, 3).astype(np.float32))
+    calib = [rng.rand(2, 96, 96, 3).astype(np.float32)]
+
+    kw = dict(anchors_table=ANCHORS, nclasses=3, yolo_max_boxes=20,
+              nms_iou_threshold=0.5, nms_score_threshold=0.1,
+              quantize="int8", calibration_batches=calib)
+    p1 = make_predictor(spec, params, state, **kw)
+    pN = make_predictor(spec, params, state, mesh=make_mesh(), **kw)
+    # sharded vs unsharded are different XLA programs — the fp decode tail
+    # may reassociate (ulp-level); the int8 conv stack itself is exact
+    for a, b in zip(p1(images), pN(images)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-5)
+
+
+def test_sharded_eval_sweep_predictor(setup):
+    """Batch-sharded evaluate-sweep predictor (scalar thresholds replicate,
+    images shard) matches the single-device sweep."""
+    from yolov3_tpu.apps.evaluate_app import make_sweepable_predictor
+
+    spec, params, state = setup
+    rng = np.random.RandomState(3)
+    images = jnp.asarray(rng.rand(8, 96, 96, 3).astype(np.float32))
+
+    p1 = make_sweepable_predictor(spec, params, state, ANCHORS, 3, 20)
+    pN = make_sweepable_predictor(spec, params, state, ANCHORS, 3, 20, mesh=make_mesh())
+    for th in (0.004, 0.5):
+        for a, b in zip(p1(images, 0.5, th), pN(images, 0.5, th)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-5)

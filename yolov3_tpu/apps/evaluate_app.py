@@ -34,13 +34,25 @@ from ..ops.nms import DEFAULT_NUM_CANDIDATES, nms_inexact_mask, yolo_nms
 log = logging.getLogger(__name__)
 
 
-def make_sweepable_predictor(spec, params, bn_state, anchors_table, nclasses, yolo_max_boxes):
+def make_sweepable_predictor(spec, params, bn_state, anchors_table, nclasses,
+                             yolo_max_boxes, mesh=None):
+    """``mesh``: batch-sharded DP evaluation over all chips — the sweep
+    thresholds are scalar kernel args (replicated), images shard on the
+    data axis, and the whole predict is per-image independent SPMD."""
     run_params = fold_batch_norm(params, bn_state)
     anchors = jnp.asarray(anchors_table, jnp.float32)
 
     from functools import partial
 
-    @partial(jax.jit, static_argnames=("num_candidates",))
+    shardings = {}
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, replicated_sharding
+
+        data, repl = batch_sharding(mesh), replicated_sharding(mesh)
+        shardings = dict(in_shardings=(data, repl, repl),
+                         out_shardings=(data, data, data, data, data))
+
+    @partial(jax.jit, static_argnames=("num_candidates",), **shardings)
     def predict(images, iou_threshold, score_threshold,
                 num_candidates=DEFAULT_NUM_CANDIDATES):
         outputs, _ = apply_model(spec, run_params, {}, images, train=False)
@@ -79,8 +91,18 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
     params, bn_state = init_model(jax.random.PRNGKey(0), spec)
     params, bn_state = load_weights(spec, params, bn_state, detect_config["input_weights_path"])
 
+    mesh = None
+    if detect_config.get("data_parallel") and jax.device_count() > 1:
+        from ..parallel.mesh import make_mesh
+
+        if batch_size % jax.device_count():
+            raise ValueError(
+                f"data_parallel needs batch_size ({batch_size}) divisible "
+                f"by device count ({jax.device_count()})")
+        mesh = make_mesh()
+
     predict = make_sweepable_predictor(spec, params, bn_state, anchors_table,
-                                       nclasses, yolo_max_boxes)
+                                       nclasses, yolo_max_boxes, mesh=mesh)
 
     # dataset: tfrecords, letterboxed, gt kept padded + masked (fixed shapes)
     def batches():

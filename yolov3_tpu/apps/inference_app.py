@@ -38,8 +38,14 @@ log = logging.getLogger(__name__)
 def make_predictor(spec, params, bn_state, anchors_table, nclasses,
                    yolo_max_boxes, nms_iou_threshold, nms_score_threshold,
                    fold_bn: bool = True, compute_dtype=None,
-                   quantize=None, calibration_batches=None):
+                   quantize=None, calibration_batches=None, mesh=None):
     """Build the fused forward+decode+NMS jitted function.
+
+    ``mesh``: a ``jax.sharding.Mesh`` for batch-sharded data-parallel
+    serving — params replicate, the image batch shards over the mesh's
+    data axis, and every pipeline stage (convs, decode, NMS, gather) is
+    per-image independent, so XLA compiles a collective-free SPMD program
+    (linear scale-out over ICI). Batch size must divide the device count.
 
     ``quantize='int8'`` enables the int8 PTQ serving tier: per-channel
     weights, calibrated per-tensor activation scales (validate mAP for your
@@ -72,8 +78,7 @@ def make_predictor(spec, params, bn_state, anchors_table, nclasses,
         run_params = jax.tree.map(lambda x: x.astype(compute_dtype), run_params)
     anchors = jnp.asarray(anchors_table, jnp.float32)
 
-    @jax.jit
-    def predict(images):
+    def predict_fn(images):
         if compute_dtype is not None:
             images = images.astype(compute_dtype)
         outputs, _ = apply_model(spec, run_params, run_state, images, train=False)
@@ -85,7 +90,14 @@ def make_predictor(spec, params, bn_state, anchors_table, nclasses,
             score_threshold=nms_score_threshold,
         )
 
-    return predict
+    if mesh is None:
+        return jax.jit(predict_fn)
+    from ..parallel.mesh import batch_sharding
+
+    data = batch_sharding(mesh)
+    # every output of yolo_nms is batch-leading → shard them all on data
+    return jax.jit(predict_fn, in_shardings=data,
+                   out_shardings=(data, data, data, data, data))
 
 
 def gather_valid_detections(bboxes, class_indices, scores, selected, num_valid):
@@ -117,6 +129,7 @@ class Inference:
         save_model_path=None,
         quantize=None,
         compute_precision=None,
+        data_parallel=False,
         **kwargs,
     ):
         os.makedirs(output_dir, exist_ok=True)
@@ -162,11 +175,23 @@ class Inference:
                     calib_images.append(resize_bilinear(orig, image_size, image_size))
             calibration_batches = [np.stack(calib_images)]
 
+        mesh = None
+        if data_parallel and jax.device_count() > 1:
+            # batch-sharded serving over all chips (collective-free SPMD);
+            # requires batch_size % device_count == 0
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+            if batch_size % jax.device_count():
+                raise ValueError(
+                    f"data_parallel needs batch_size ({batch_size}) divisible "
+                    f"by device count ({jax.device_count()})")
+
         predict = make_predictor(
             spec, params, bn_state, anchors_table, nclasses,
             yolo_max_boxes, nms_iou_threshold, nms_score_threshold,
             compute_dtype={"bf16": jnp.bfloat16, "fp32": None, None: None}[compute_precision],
-            quantize=quantize, calibration_batches=calibration_batches,
+            quantize=quantize, calibration_batches=calibration_batches, mesh=mesh,
         )
 
         image_counter = 0
