@@ -100,10 +100,10 @@ def main():
     meta = plane.event_metadata
     for line in plane.lines:
         if line.name == "XLA Modules":
-            for ev in line.events:
-                print(f"device: {ev.duration_ps/1e9:.2f} ms/step "
-                      f"({B/(ev.duration_ps/1e12):.1f} img/s device rate)")
-                break
+            durs = sorted(ev.duration_ps / 1e9 for ev in line.events)
+            med = durs[len(durs) // 2]
+            print(f"device: {med:.2f} ms/step ({B/(med/1e3):.1f} img/s device rate); "
+                  f"module events (ms): {[f'{d:.1f}' for d in durs]}")
         if line.name != "XLA Ops":
             continue
         agg = collections.Counter()
