@@ -18,3 +18,15 @@ Design stance (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("YOLOV3_TPU_PLATFORM"):
+    # Escape hatch for environments whose site hooks pre-select a platform
+    # and override JAX_PLATFORMS (the config knob still works until the
+    # first backend use). E.g. YOLOV3_TPU_PLATFORM=cpu with
+    # XLA_FLAGS=--xla_force_host_platform_device_count=8 runs any CLI on a
+    # virtual multi-chip CPU mesh (data_parallel: true).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["YOLOV3_TPU_PLATFORM"])

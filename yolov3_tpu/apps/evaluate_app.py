@@ -44,15 +44,7 @@ def make_sweepable_predictor(spec, params, bn_state, anchors_table, nclasses,
 
     from functools import partial
 
-    shardings = {}
-    if mesh is not None:
-        from ..parallel.mesh import batch_sharding, replicated_sharding
-
-        data, repl = batch_sharding(mesh), replicated_sharding(mesh)
-        shardings = dict(in_shardings=(data, repl, repl),
-                         out_shardings=(data, data, data, data, data))
-
-    @partial(jax.jit, static_argnames=("num_candidates",), **shardings)
+    @partial(jax.jit, static_argnames=("num_candidates",))
     def predict(images, iou_threshold, score_threshold,
                 num_candidates=DEFAULT_NUM_CANDIDATES):
         outputs, _ = apply_model(spec, run_params, {}, images, train=False)
@@ -61,7 +53,21 @@ def make_sweepable_predictor(spec, params, bn_state, anchors_table, nclasses,
                         iou_threshold=iou_threshold, score_threshold=score_threshold,
                         num_candidates=num_candidates)
 
-    return predict
+    if mesh is None:
+        return predict
+    from ..parallel.mesh import batch_sharding
+
+    data = batch_sharding(mesh)
+
+    def sharded_predict(images, iou_threshold, score_threshold,
+                        num_candidates=DEFAULT_NUM_CANDIDATES):
+        # committing the batch to the data axis makes jit compile the whole
+        # sweep SPMD (sharding propagates; thresholds replicate as scalars)
+        return predict(jax.device_put(jnp.asarray(images), data),
+                       iou_threshold, score_threshold,
+                       num_candidates=num_candidates)
+
+    return sharded_predict
 
 
 def _selected_to_padded(bboxes, class_idx, scores, selected, num_valid, max_boxes):
