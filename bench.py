@@ -79,7 +79,7 @@ def main():
         # time 4.94 → 3.02 ms at B=128 on v5e
         from yolov3_tpu.ops.s2d import s2d_stem
 
-        spec, folded16 = s2d_stem(spec, folded16)
+        spec, folded16 = s2d_stem(spec, folded16, image_size=IMAGE_SIZE)
     else:
         # bf16 weights/activations; convs accumulate fp32 on the MXU
         folded16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), folded)

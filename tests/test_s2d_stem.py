@@ -117,3 +117,43 @@ def test_noop_cases(repo_root):
     ffolded = fold_batch_norm(fparams, fstate)
     spec3, p3 = s2d_stem(full, ffolded)
     assert spec3 is full and p3 is ffolded
+
+
+def test_guard_negative_route_reference_to_stem():
+    """Route/shortcut indices are position-relative when negative
+    (network.py resolves them against the layers-so-far list). A route at
+    position 3 with layers: [-3] references layer 0 — the stem conv — so
+    the rewrite must refuse (its output layout changes)."""
+    nclasses = 3
+    layers = (
+        _conv(8, 3, 1),                 # 0: stem conv0 — referenced below!
+        _conv(16, 3, 2),                # 1
+        _conv(16, 1, 1),                # 2
+        LayerSpec(kind="route", attrs=_attrs({"source": {"layers": [-3]}})),  # -> layer 0
+        _conv(3 * (5 + nclasses), 1, 1, bn=False, activation="linear"),
+        LayerSpec(kind="yolo", attrs=_attrs({})),
+    )
+    sm = SubModelSpec(name="model_head", layers=layers, inputs=None,
+                      outputs_layers=(len(layers) - 1,))
+    spec = ModelSpec(sub_models=(sm,), output_stage="head", nclasses=nclasses)
+    params, state = init_model(jax.random.PRNGKey(0), spec)
+    folded = fold_batch_norm(params, state)
+    absmax = {(sm.name, f"layer{i}"): 1.0 for i, l in enumerate(layers)
+              if l.kind == "convolutional"}
+    qparams = quantize_params(spec, folded, absmax)
+    spec2, q2 = s2d_stem(spec, qparams)
+    assert spec2 is spec and q2 is qparams
+
+
+def test_guard_odd_image_size():
+    spec = _mini_spec()
+    params, state = init_model(jax.random.PRNGKey(0), spec)
+    folded = fold_batch_norm(params, state)
+    absmax = {(spec.sub_models[0].name, f"layer{i}"): 1.0
+              for i, l in enumerate(spec.sub_models[0].layers)
+              if l.kind == "convolutional"}
+    qparams = quantize_params(spec, folded, absmax)
+    spec2, q2 = s2d_stem(spec, qparams, image_size=417)
+    assert spec2 is spec and q2 is qparams
+    spec3, _ = s2d_stem(spec, qparams, image_size=416)
+    assert spec3 is not spec

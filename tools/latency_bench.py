@@ -53,7 +53,7 @@ def main():
         run_params = quantize_params(spec, folded, in_am, out_absmax=out_am)
         from yolov3_tpu.ops.s2d import s2d_stem
 
-        spec, run_params = s2d_stem(spec, run_params)
+        spec, run_params = s2d_stem(spec, run_params, image_size=args.image_size)
     else:
         run_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), folded)
     anchors = np.abs(np.random.RandomState(0).randn(3, 3, 2)).astype(np.float32) * 0.2 + 0.05

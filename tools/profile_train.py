@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--trace", action="store_true",
                     help="capture a jax.profiler trace and print device-time breakdown")
     ap.add_argument("--top", type=int, default=15)
+    ap.add_argument("--top_fusions", type=int, default=0,
+                    help="also print the N most expensive INDIVIDUAL ops "
+                         "(fusion.N names resolvable in the --dump_hlo text)")
+    ap.add_argument("--dump_hlo", default="",
+                    help="write the optimized HLO of the train step here "
+                         "(look up fusion.N names from --top_fusions)")
     args = ap.parse_args()
 
     import jax
@@ -64,6 +70,12 @@ def main():
 
     ts, m = step(ts, images, labels)
     print(f"warm loss {float(m['total_loss']):.3f}", file=sys.stderr)
+
+    if args.dump_hlo:
+        compiled = step.lower(ts, images, labels).compile()
+        with open(args.dump_hlo, "w") as fh:
+            fh.write(compiled.as_text())
+        print(f"optimized HLO -> {args.dump_hlo}", file=sys.stderr)
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
@@ -101,9 +113,10 @@ def main():
     for line in plane.lines:
         if line.name == "XLA Modules":
             durs = sorted(ev.duration_ps / 1e9 for ev in line.events)
-            med = durs[len(durs) // 2]
-            print(f"device: {med:.2f} ms/step ({B/(med/1e3):.1f} img/s device rate); "
-                  f"module events (ms): {[f'{d:.1f}' for d in durs]}")
+            if durs:
+                med = durs[len(durs) // 2]
+                print(f"device: {med:.2f} ms/step ({B/(med/1e3):.1f} img/s device rate); "
+                      f"module events (ms): {[f'{d:.1f}' for d in durs]}")
         if line.name != "XLA Ops":
             continue
         agg = collections.Counter()
@@ -117,6 +130,13 @@ def main():
         print("-- device time by op type (ms/step):")
         for k, v in agg.most_common(args.top):
             print(f"   {k:32s} {v/2:7.2f}  x{cnt[k]}")
+        if args.top_fusions:
+            per_op = collections.Counter()
+            for ev in line.events:
+                per_op[meta[ev.metadata_id].name.split(" ")[0]] += ev.duration_ps / 1e9
+            print(f"-- top {args.top_fusions} individual ops (ms/step):")
+            for k, v in per_op.most_common(args.top_fusions):
+                print(f"   {k:44s} {v/2:7.2f}")
 
 
 if __name__ == "__main__":

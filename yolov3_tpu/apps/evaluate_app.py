@@ -98,14 +98,10 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
     params, bn_state = load_weights(spec, params, bn_state, detect_config["input_weights_path"])
 
     mesh = None
-    if detect_config.get("data_parallel") and jax.device_count() > 1:
-        from ..parallel.mesh import make_mesh
+    if detect_config.get("data_parallel"):
+        from ..parallel.mesh import make_data_parallel_mesh
 
-        if batch_size % jax.device_count():
-            raise ValueError(
-                f"data_parallel needs batch_size ({batch_size}) divisible "
-                f"by device count ({jax.device_count()})")
-        mesh = make_mesh()
+        mesh = make_data_parallel_mesh(batch_size)
 
     predict = make_sweepable_predictor(spec, params, bn_state, anchors_table,
                                        nclasses, yolo_max_boxes, mesh=mesh)

@@ -38,14 +38,16 @@ log = logging.getLogger(__name__)
 def make_predictor(spec, params, bn_state, anchors_table, nclasses,
                    yolo_max_boxes, nms_iou_threshold, nms_score_threshold,
                    fold_bn: bool = True, compute_dtype=None,
-                   quantize=None, calibration_batches=None, mesh=None):
+                   quantize=None, calibration_batches=None, mesh=None,
+                   image_size=None):
     """Build the fused forward+decode+NMS jitted function.
 
     ``mesh``: a ``jax.sharding.Mesh`` for batch-sharded data-parallel
     serving — params replicate, the image batch shards over the mesh's
     data axis, and every pipeline stage (convs, decode, NMS, gather) is
     per-image independent, so XLA compiles a collective-free SPMD program
-    (linear scale-out over ICI). Batch size must divide the device count.
+    (linear scale-out over ICI). The device count must divide the batch
+    size (e.g. 8 chips, batch 128).
 
     ``quantize='int8'`` enables the int8 PTQ serving tier: per-channel
     weights, calibrated per-tensor activation scales (validate mAP for your
@@ -72,7 +74,7 @@ def make_predictor(spec, params, bn_state, anchors_table, nclasses,
         # bit-exact stem rewrite (no-op for non-Darknet stems) — ops/s2d.py
         from ..ops.s2d import s2d_stem
 
-        spec, run_params = s2d_stem(spec, run_params)
+        spec, run_params = s2d_stem(spec, run_params, image_size=image_size)
         compute_dtype = None
     if compute_dtype is not None:
         run_params = jax.tree.map(lambda x: x.astype(compute_dtype), run_params)
@@ -176,22 +178,23 @@ class Inference:
             calibration_batches = [np.stack(calib_images)]
 
         mesh = None
-        if data_parallel and jax.device_count() > 1:
-            # batch-sharded serving over all chips (collective-free SPMD);
-            # requires batch_size % device_count == 0
-            from ..parallel.mesh import make_mesh
-
-            mesh = make_mesh()
-            if batch_size % jax.device_count():
+        if data_parallel:
+            if input_data_source != "tfrecords":
+                # image_file / images_dir predict one image at a time — a
+                # batch-sharded jit would reject the (1, H, W, 3) input
                 raise ValueError(
-                    f"data_parallel needs batch_size ({batch_size}) divisible "
-                    f"by device count ({jax.device_count()})")
+                    "data_parallel requires input_data_source: tfrecords "
+                    "(batched input); image_file/images_dir predict per-image")
+            from ..parallel.mesh import make_data_parallel_mesh
+
+            mesh = make_data_parallel_mesh(batch_size)
 
         predict = make_predictor(
             spec, params, bn_state, anchors_table, nclasses,
             yolo_max_boxes, nms_iou_threshold, nms_score_threshold,
             compute_dtype={"bf16": jnp.bfloat16, "fp32": None, None: None}[compute_precision],
             quantize=quantize, calibration_batches=calibration_batches, mesh=mesh,
+            image_size=image_size,
         )
 
         image_counter = 0

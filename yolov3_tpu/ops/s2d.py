@@ -102,23 +102,39 @@ def _find_stem(sm: SubModelSpec, sm_params):
             or "kernel_q" not in sm_params.get(f"layer{i0 + 1}", {})):
         return None  # stem not int8-quantized (fp model / mixed precision)
     n = len(sm.layers)
-    if any(i % n == i0 for i in sm.outputs_layers):
+    if any(i % n == i0 for i in sm.outputs_layers):  # outputs_layers: end-relative
         return None
     for j, layer in enumerate(sm.layers):
-        if layer.kind == "shortcut" and (j + layer["from"]) == i0:
-            return None
+        # route/shortcut indices resolve against layer_outs (length j at
+        # layer j — network.py): non-negative = absolute layer index,
+        # negative = relative to the current position (j + i), NOT
+        # end-relative.
+        if layer.kind == "shortcut":
+            frm = int(layer["from"])
+            if (frm if frm >= 0 else j + frm) == i0:
+                return None
         if layer.kind == "route":
             src = dict(layer["source"])
-            if any(int(i) % n == i0 for i in src.get("layers", ())):
-                return None
+            for i in src.get("layers", ()):
+                i = int(i)
+                if (i if i >= 0 else j + i) == i0:
+                    return None
     return i0
 
 
-def s2d_stem(spec: ModelSpec, params):
+def s2d_stem(spec: ModelSpec, params, image_size: int | None = None):
     """Apply the space-to-depth stem rewrite. Returns ``(spec, params)`` —
     new objects when the first sub-model matches the Darknet int8 stem
     pattern, the inputs unchanged otherwise. ``params`` must be quantized
-    (``quantize_params`` output); state must already be folded."""
+    (``quantize_params`` output); state must already be folded.
+
+    The rewrite is exact only for EVEN input heights/widths (at odd sizes
+    the phase decomposition produces one extra output row/column vs the
+    original stem). Every real YOLO resolution is a multiple of 32, but
+    pass ``image_size`` when known — odd sizes then no-op instead of
+    changing the output geometry."""
+    if image_size is not None and image_size % 2:
+        return spec, params
     sm0 = spec.sub_models[0]
     sm_params = params.get(sm0.name, {})
     i0 = _find_stem(sm0, sm_params)

@@ -61,6 +61,21 @@ def make_mesh(devices=None, axes: dict | None = None) -> Mesh:
     return Mesh(np.asarray(devices).reshape(shape), names)
 
 
+def make_data_parallel_mesh(batch_size: int) -> Mesh | None:
+    """Mesh over all devices for batch-sharded serving/evaluation, or None
+    on a single device. Raises when ``batch_size`` is not divisible by the
+    device count (XLA cannot shard the batch axis evenly)."""
+    import jax
+
+    if jax.device_count() <= 1:
+        return None
+    if batch_size % jax.device_count():
+        raise ValueError(
+            f"data_parallel needs batch_size ({batch_size}) divisible "
+            f"by device count ({jax.device_count()})")
+    return make_mesh()
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
