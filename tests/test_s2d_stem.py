@@ -145,6 +145,92 @@ def test_guard_negative_route_reference_to_stem():
     assert spec2 is spec and q2 is qparams
 
 
+def test_train_rewrite_loss_grads_bn_state_match():
+    """s2d_stem_train is a pure reschedule: loss, gradients (w.r.t. the
+    ORIGINAL params), and new BN running stats must match the un-rewritten
+    spec to fp32 summation-order tolerance."""
+    import jax.numpy as jnp
+
+    from yolov3_tpu.ops.assign import assign_targets
+    from yolov3_tpu.ops.loss import yolo_loss_terms
+    from yolov3_tpu.ops.s2d import s2d_stem_train
+
+    spec = _mini_spec()
+    spec2 = s2d_stem_train(spec)
+    assert spec2 is not spec
+    l0, l1 = spec2.sub_models[0].layers[:2]
+    assert l0["s2d_phase"] == "conv0" and l0["filters"] == 32
+    assert l1["s2d_phase"] == "conv1"
+
+    params, state = init_model(jax.random.PRNGKey(0), spec)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    labels = np.zeros((2, 4, 6), np.float32)
+    labels[:, 0] = [0.2, 0.2, 0.55, 0.6, 1, 1]
+    labels[:, 1] = [0.5, 0.4, 0.9, 0.8, 1, 2]
+    labels = jnp.asarray(labels)
+    anchors = jnp.asarray(rng.rand(1, 3, 2).astype(np.float32) * 0.5 + 0.05)
+    y_true = assign_targets(labels, anchors, (16,))
+
+    def loss(p, s, this_spec):
+        outs, new_bn = apply_model(this_spec, p, s, images, train=True)
+        total = sum(jnp.sum(yolo_loss_terms(t, o, anchors[i], spec.nclasses))
+                    for i, (t, o) in enumerate(zip(y_true, outs)))
+        return total, new_bn
+
+    (l_ref, bn_ref), g_ref = jax.jit(
+        jax.value_and_grad(loss, has_aux=True), static_argnums=2)(params, state, spec)
+    (l_new, bn_new), g_new = jax.jit(
+        jax.value_and_grad(loss, has_aux=True), static_argnums=2)(params, state, spec2)
+
+    np.testing.assert_allclose(float(l_ref), float(l_new), rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5), bn_ref, bn_new)
+
+    # gradients: mathematically identical; fp32 summation reordering leaves
+    # ~5e-5 relative norm (measured) — per-leaf norm-ratio check is robust
+    # to elementwise cancellation on near-zero entries
+    def norm_close(a, b):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-30)
+        assert rel < 1e-3, f"grad relnorm {rel:.2e}"
+
+    jax.tree.map(norm_close, g_ref, g_new)
+    # gradient pytrees have identical structure (original param shapes)
+    assert jax.tree.structure(g_ref) == jax.tree.structure(g_new)
+
+
+def test_train_rewrite_eval_mode_and_noop():
+    """Inference-mode BN (running stats) path matches too; tiny no-ops."""
+    from yolov3_tpu.ops.s2d import s2d_stem_train
+
+    spec = _mini_spec()
+    spec2 = s2d_stem_train(spec)
+    params, state = init_model(jax.random.PRNGKey(3), spec)
+    rng = np.random.RandomState(1)
+    x = np.asarray(rng.rand(2, 32, 32, 3), np.float32)
+    ref, _ = jax.jit(lambda p, s, x: apply_model(spec, p, s, x))(params, state, x)
+    out, _ = jax.jit(lambda p, s, x: apply_model(spec2, p, s, x))(params, state, x)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(o), rtol=1e-4, atol=1e-5)
+
+    assert s2d_stem_train(spec, image_size=417) is spec
+
+    # bias-only (no BN) stem conv: refuse (per-channel bias can't tile)
+    nclasses = 3
+    layers = (
+        _conv(8, 3, 1, bn=False),
+        _conv(16, 3, 2),
+        _conv(3 * (5 + nclasses), 1, 1, bn=False, activation="linear"),
+        LayerSpec(kind="yolo", attrs=_attrs({})),
+    )
+    sm = SubModelSpec(name="model_head", layers=layers, inputs=None,
+                      outputs_layers=(len(layers) - 1,))
+    nospec = ModelSpec(sub_models=(sm,), output_stage="head", nclasses=nclasses)
+    assert s2d_stem_train(nospec) is nospec
+
+
 def test_guard_odd_image_size():
     spec = _mini_spec()
     params, state = init_model(jax.random.PRNGKey(0), spec)

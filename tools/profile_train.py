@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--image_size", type=int, default=416)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--fp32", action="store_true", help="disable bf16 mixed precision")
+    ap.add_argument("--s2d", action="store_true",
+                    help="enable the space-to-depth stem reschedule (measured "
+                         "perf-neutral at B=128 — PERF.md)")
     ap.add_argument("--trace", action="store_true",
                     help="capture a jax.profiler trace and print device-time breakdown")
     ap.add_argument("--top", type=int, default=15)
@@ -57,7 +60,14 @@ def main():
     grid_sizes = head_grid_sizes(spec, S)
     anchors = (np.abs(np.random.RandomState(0).randn(3, 3, 2)) * 0.2 + 0.05).astype(np.float32)
     opt = make_adam(1e-3)
-    step = make_train_step(spec, anchors, grid_sizes, batch_size=B, optimizer=opt,
+    step_spec = spec
+    if args.s2d:
+        from yolov3_tpu.ops.s2d import s2d_stem_train
+
+        step_spec = s2d_stem_train(spec, S)
+        if step_spec is not spec:
+            print("stem_s2d: on", file=sys.stderr)
+    step = make_train_step(step_spec, anchors, grid_sizes, batch_size=B, optimizer=opt,
                            compute_dtype=None if args.fp32 else jnp.bfloat16)
     ts = init_train_state(params, state, opt)
 

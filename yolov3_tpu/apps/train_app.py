@@ -186,8 +186,21 @@ class Train:
             log.info(f"data-parallel over {ndev} devices (mesh axes {mesh.axis_names})")
         sharding = batch_sharding(mesh) if mesh is not None else None
 
+        # space-to-depth stem reschedule: spec-only, params/grads/checkpoints
+        # identical (ops/s2d.py::s2d_stem_train); `stem_s2d: true` opts in.
+        # Measured perf-neutral on v5e at B=128 (PERF.md) — the train step is
+        # not stem-bound — so it defaults OFF; kept for odd-geometry configs.
+        # init/save/load above and below keep using the ORIGINAL spec.
+        step_spec = spec
+        if kwargs.get("stem_s2d", False):
+            from ..ops.s2d import s2d_stem_train
+
+            step_spec = s2d_stem_train(spec, image_size)
+            if step_spec is not spec:
+                log.info("stem_s2d: training stem rescheduled to 2×2-phase layout")
+
         train_step = make_train_step(
-            spec, anchors_table, grid_sizes, batch_size, optimizer,
+            step_spec, anchors_table, grid_sizes, batch_size, optimizer,
             mesh=mesh, bn_frozen=bn_frozen, trainable_mask=trainable_mask,
             compute_dtype=jnp.bfloat16 if mixed_precision else None,
             remat=remat,
@@ -197,7 +210,7 @@ class Train:
             accum_steps=accum_steps,
         )
         eval_step = make_eval_step(
-            spec, anchors_table, grid_sizes, batch_size, mesh=mesh, bn_frozen=bn_frozen
+            step_spec, anchors_table, grid_sizes, batch_size, mesh=mesh, bn_frozen=bn_frozen
         )
 
         train_state = init_train_state(params, bn_state, optimizer)

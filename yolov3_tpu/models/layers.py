@@ -158,12 +158,54 @@ def conv2d_int8(x, qparams, stride: int, pad: int, leaky: bool = False,
     return y.astype(fp_dtype)
 
 
-def batch_norm(x, bn_params, bn_state, train: bool, momentum=BN_MOMENTUM, eps=BN_EPS):
+def s2d_phase_kernel_conv0(k):
+    """(3,3,cin,cout) → (4,4,cin,4·cout) phase-stacked stem kernel, pure jnp.
+
+    Differentiable twin of ops/s2d.py::_rewrite_conv0_kernel: builds the
+    space-to-depth phase kernel *inside* the traced graph from the original
+    3×3 kernel, so the rewritten stem trains against the ORIGINAL params —
+    the construction is linear (pad + concat), autodiff sums the four phase
+    gradients back onto the one 3×3 kernel, which is exactly the gradient
+    of the un-rewritten conv (same products, same sums). See ops/s2d.py for
+    the geometry derivation.
+    """
+    groups = [
+        jnp.pad(k, ((pi, 1 - pi), (pj, 1 - pj), (0, 0), (0, 0)))
+        for pi in range(2) for pj in range(2)
+    ]
+    return jnp.concatenate(groups, axis=-1)
+
+
+def s2d_phase_kernel_conv1(k):
+    """(3,3,cin,cout) → (2,2,4·cin,cout) phase-consuming kernel, pure jnp.
+
+    Differentiable twin of ops/s2d.py::_rewrite_conv1_kernel. Tap (cdi,cdj)
+    of phase group (qi,qj) reads original tap (2·cdi+qi−1, 2·cdj+qj−1);
+    taps falling outside the 3×3 window are structural zeros — realized by
+    slicing a zero-padded kernel with stride 2.
+    """
+    kp = jnp.pad(k, ((1, 1), (1, 1), (0, 0), (0, 0)))
+    groups = [
+        kp[qi:qi + 3:2, qj:qj + 3:2]
+        for qi in range(2) for qj in range(2)
+    ]
+    return jnp.concatenate(groups, axis=2)
+
+
+def batch_norm(x, bn_params, bn_state, train: bool, momentum=BN_MOMENTUM, eps=BN_EPS,
+               phases: int = 1):
     """Functional BatchNorm over NHWC (channel axis -1).
 
     Returns (y, new_state). In training mode statistics are computed over
     (N, H, W) — under a batch-sharded jit this is a *global* mean/var
     (XLA inserts the cross-chip reduction), i.e. sync-BN for free.
+
+    ``phases``: when >1 the channel axis holds ``phases`` spatial-phase
+    copies of a ``C = channels/phases``-channel tensor (space-to-depth stem,
+    ops/s2d.py) — statistics reduce over the phase groups too (each phase is
+    a disjoint set of the original spatial positions, so this is the SAME
+    per-channel mean/var as the un-rewritten layout), params/state stay
+    per-original-channel (C,), and normalization tiles them across phases.
     """
     gamma = bn_params["gamma"]
     beta = bn_params["beta"]
@@ -175,8 +217,13 @@ def batch_norm(x, bn_params, bn_state, train: bool, momentum=BN_MOMENTUM, eps=BN
         # activation once instead of twice; ~10% step time at B=128).
         # Matches Keras's biased batch variance mathematically; fp32
         # accumulation keeps the cancellation error ~1e-6 relative.
-        mean = jnp.mean(x32, axis=(0, 1, 2))
-        var = jnp.maximum(jnp.mean(x32 * x32, axis=(0, 1, 2)) - mean * mean, 0.0)
+        if phases > 1:
+            xr = x32.reshape(*x.shape[:-1], phases, x.shape[-1] // phases)
+            mean = jnp.mean(xr, axis=(0, 1, 2, 3))
+            var = jnp.maximum(jnp.mean(xr * xr, axis=(0, 1, 2, 3)) - mean * mean, 0.0)
+        else:
+            mean = jnp.mean(x32, axis=(0, 1, 2))
+            var = jnp.maximum(jnp.mean(x32 * x32, axis=(0, 1, 2)) - mean * mean, 0.0)
         new_state = {
             "mean": momentum * bn_state["mean"] + (1.0 - momentum) * mean,
             "var": momentum * bn_state["var"] + (1.0 - momentum) * var,
@@ -185,6 +232,8 @@ def batch_norm(x, bn_params, bn_state, train: bool, momentum=BN_MOMENTUM, eps=BN
         mean, var = bn_state["mean"], bn_state["var"]
         new_state = bn_state
     scale = gamma * lax.rsqrt(var + eps)
+    if phases > 1:
+        mean, scale, beta = (jnp.tile(v, phases) for v in (mean, scale, beta))
     y = (x - mean.astype(x.dtype)) * scale.astype(x.dtype) + beta.astype(x.dtype)
     return y, new_state
 

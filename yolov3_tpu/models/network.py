@@ -95,10 +95,21 @@ def _apply_sub_model(
                                   leaky=leaky, fp_dtype=fp_dtype, explicit_pad=ep)
             else:
                 x = _deq(x, fp_dtype)
-                x = L.conv2d(x, p["kernel"], layer["stride"], layer.get("pad", 1),
+                # s2d_phase layers (ops/s2d.py::s2d_stem_train) carry
+                # ORIGINAL 3×3 params; the phase-space kernel is built
+                # in-graph so gradients flow back to them
+                s2d = layer.get("s2d_phase")
+                if s2d == "conv0":
+                    kernel = L.s2d_phase_kernel_conv0(p["kernel"])
+                elif s2d == "conv1":
+                    kernel = L.s2d_phase_kernel_conv1(p["kernel"])
+                else:
+                    kernel = p["kernel"]
+                x = L.conv2d(x, kernel, layer["stride"], layer.get("pad", 1),
                              explicit_pad=ep)
                 if "bn" in p:
-                    x, ns = L.batch_norm(x, p["bn"], sm_state[key], train and bn_train)
+                    x, ns = L.batch_norm(x, p["bn"], sm_state[key], train and bn_train,
+                                         phases=4 if s2d == "conv0" else 1)
                     new_state[key] = ns
                 elif "bias" in p:
                     x = x + p["bias"].astype(x.dtype)

@@ -79,8 +79,9 @@ def _layer_with(layer: LayerSpec, **updates) -> LayerSpec:
     return LayerSpec(kind=layer.kind, attrs=_attrs(d))
 
 
-def _find_stem(sm: SubModelSpec, sm_params):
-    """Index of the first conv of a rewritable Darknet stem, or None.
+def _find_stem(sm: SubModelSpec):
+    """Index of the first conv of a structurally rewritable Darknet stem,
+    or None. (Callers add their own param-format checks.)
 
     The stem pair is the first convolutional layer (any input-selecting
     routes before it are untouched — their outputs are the raw images) and
@@ -98,9 +99,6 @@ def _find_stem(sm: SubModelSpec, sm_params):
         return None
     if not (l1.get("size") == 3 and l1.get("stride") == 2):
         return None
-    if ("kernel_q" not in sm_params.get(f"layer{i0}", {})
-            or "kernel_q" not in sm_params.get(f"layer{i0 + 1}", {})):
-        return None  # stem not int8-quantized (fp model / mixed precision)
     n = len(sm.layers)
     if any(i % n == i0 for i in sm.outputs_layers):  # outputs_layers: end-relative
         return None
@@ -137,7 +135,12 @@ def s2d_stem(spec: ModelSpec, params, image_size: int | None = None):
         return spec, params
     sm0 = spec.sub_models[0]
     sm_params = params.get(sm0.name, {})
-    i0 = _find_stem(sm0, sm_params)
+    i0 = _find_stem(sm0)
+    if i0 is not None and (
+        "kernel_q" not in sm_params.get(f"layer{i0}", {})
+        or "kernel_q" not in sm_params.get(f"layer{i0 + 1}", {})
+    ):
+        i0 = None  # stem not int8-quantized (fp model / mixed precision)
     if i0 is None:
         return spec, params
 
@@ -172,3 +175,61 @@ def s2d_stem(spec: ModelSpec, params, image_size: int | None = None):
     new_params = dict(params)
     new_params[sm0.name] = {**sm_params, f"layer{i0}": new_p0, f"layer{i0 + 1}": new_p1}
     return new_spec, new_params
+
+
+def s2d_stem_train(spec: ModelSpec, image_size: int | None = None) -> ModelSpec:
+    """Training-mode stem rewrite: spec-only, params untouched.
+
+    The same geometry as ``s2d_stem`` but applied to the *fp* training
+    forward: the two stem layers are tagged ``s2d_phase`` and the phase
+    kernels are built inside the differentiated graph from the ORIGINAL
+    3×3 kernels (layers.py::s2d_phase_kernel_conv{0,1} — linear, so
+    gradients flow back onto the original params exactly). conv0's BN
+    reduces over the 4 spatial-phase channel groups (batch_norm
+    ``phases=4``), which is the identical per-channel statistic as the
+    un-rewritten layout. Params, optimizer state, checkpoints, L2
+    regularization, and gradients are all bitwise the same pytree — only
+    the forward/backward *schedule* changes (all stem work on the 208²
+    grid instead of 416²).
+
+    Measured OUTCOME on v5e at B=128 bf16: perf-neutral — 239.3 vs
+    239.9 ms/step (PERF.md). The train step is not stem-bound the way the
+    int8 inference path was; XLA's conv-backward schedule absorbs the
+    layout change. Kept as an opt-in (train config ``stem_s2d: true``)
+    because it is exact and may help other geometries/batch shapes.
+
+    Init/checkpoint loading must use the ORIGINAL spec (param shapes derive
+    from it); pass the rewritten spec only to apply/step functions.
+
+    Requires BN on conv0 (per-channel bias would not tile across phases);
+    every Darknet stem qualifies. No-op (returns ``spec``) when the pattern
+    doesn't match — tiny's maxpool stem, odd image sizes, custom models.
+    """
+    if image_size is not None and image_size % 2:
+        return spec
+    sm0 = spec.sub_models[0]
+    i0 = _find_stem(sm0)
+    if i0 is None:
+        return spec
+    l0, l1 = sm0.layers[i0], sm0.layers[i0 + 1]
+    if not l0.get("batch_normalize"):
+        return spec
+
+    new_l0 = _layer_with(l0, size=4, stride=2, filters=4 * l0["filters"],
+                         explicit_pad=((1, 2), (1, 2)), s2d_phase="conv0")
+    new_l1 = _layer_with(l1, size=2, stride=1, explicit_pad=((1, 0), (1, 0)),
+                         s2d_phase="conv1")
+    new_sm0 = SubModelSpec(
+        name=sm0.name,
+        layers=tuple(sm0.layers[:i0]) + (new_l0, new_l1) + tuple(sm0.layers[i0 + 2:]),
+        inputs=sm0.inputs,
+        outputs_layers=sm0.outputs_layers,
+        input_shape=sm0.input_shape,
+    )
+    return ModelSpec(
+        sub_models=(new_sm0,) + tuple(spec.sub_models[1:]),
+        output_stage=spec.output_stage,
+        decay_factor=spec.decay_factor,
+        grid_sizes=spec.grid_sizes,
+        nclasses=spec.nclasses,
+    )
