@@ -104,6 +104,33 @@ def conv2d(x, kernel, stride: int, pad: int, explicit_pad=None):
     )
 
 
+_PALLAS_1X1 = False  # "auto" (TPU only) | True | False — see set_pallas_conv1x1
+# default off until validated on-chip; flip to "auto" after the on-chip
+# exactness + perf check (YOLOV3_PALLAS_1X1=1 overrides)
+
+
+def set_pallas_conv1x1(mode):
+    """Route eligible int8 1×1 convs through the fused Pallas kernel.
+
+    "auto" (default): on when the default backend is TPU — the kernel's
+    win is the HBM accumulator round-trip, a TPU-emitter property; CPU/GPU
+    keep the XLA path (and interpret-mode Pallas would be slow).
+    """
+    global _PALLAS_1X1
+    _PALLAS_1X1 = mode
+
+
+def _pallas_1x1_enabled() -> bool:
+    import os
+
+    env = os.environ.get("YOLOV3_PALLAS_1X1")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    if _PALLAS_1X1 == "auto":
+        return jax.default_backend() == "tpu"
+    return bool(_PALLAS_1X1)
+
+
 def conv2d_int8(x, qparams, stride: int, pad: int, leaky: bool = False,
                 fp_dtype=jnp.float32, explicit_pad=None):
     """Quantized conv: int8 weights × int8 activations → int32 MXU, rescale.
@@ -125,6 +152,28 @@ def conv2d_int8(x, qparams, stride: int, pad: int, leaky: bool = False,
         in_scale = qparams["in_scale"]
         fp_dtype = x.dtype
         xq = jnp.clip(jnp.round(x.astype(jnp.float32) / in_scale), -127, 127).astype(jnp.int8)
+
+    # 1×1 stride-1 convs are matmuls — route through the Pallas kernel that
+    # keeps the s32 accumulator and requant epilogue in VMEM, skipping the
+    # HBM accumulator round-trip XLA's conv emitter forces (ops/pallas/conv1x1.py)
+    kq = qparams["kernel_q"]
+    if kq.shape[0] == 1 and kq.shape[1] == 1 and stride == 1 and explicit_pad is None:
+        from ..ops.pallas import conv1x1 as _c1
+
+        if _c1.eligible(kq.shape, stride, explicit_pad) and _pallas_1x1_enabled():
+            b, h, w, cin = xq.shape
+            cout = kq.shape[3]
+            scale = (qparams["w_scale"] * in_scale).astype(jnp.float32)
+            if "out_scale" in qparams:
+                q = _c1.conv1x1_int8_requant(
+                    xq.reshape(-1, cin), kq.reshape(cin, cout), scale,
+                    qparams["bias"], 1.0 / qparams["out_scale"], leaky=leaky)
+                return QAct(q.reshape(b, h, w, cout), qparams["out_scale"])
+            y = _c1.conv1x1_int8_requant(
+                xq.reshape(-1, cin), kq.reshape(cin, cout), scale,
+                qparams["bias"], 1.0, leaky=leaky, out_dtype=fp_dtype)
+            return y.reshape(b, h, w, cout)
+
     if explicit_pad is not None:
         padding = [tuple(explicit_pad[0]), tuple(explicit_pad[1])]
     elif stride > 1:
