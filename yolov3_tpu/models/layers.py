@@ -161,18 +161,35 @@ def conv2d_int8(x, qparams, stride: int, pad: int, leaky: bool = False,
         from ..ops.pallas import conv1x1 as _c1
 
         if _c1.eligible(kq.shape, stride, explicit_pad) and _pallas_1x1_enabled():
+            import os as _os
+
             b, h, w, cin = xq.shape
             cout = kq.shape[3]
             scale = (qparams["w_scale"] * in_scale).astype(jnp.float32)
+            # XLA lays in-model int8 activations out {3,0,2,1} (C minor,
+            # then B) — row-major for logical (H,W,B,C). Feeding the kernel
+            # through that transpose turns the layout change into a bitcast
+            # instead of a full-tensor copy on each side of the custom call.
+            hwbc = _os.environ.get("YOLOV3_PALLAS_1X1_LAYOUT", "hwbc") == "hwbc"
+            if hwbc:
+                xm = xq.transpose(1, 2, 0, 3).reshape(-1, cin)
+            else:
+                xm = xq.reshape(-1, cin)
+
+            def back(t):
+                if hwbc:
+                    return t.reshape(h, w, b, cout).transpose(2, 0, 1, 3)
+                return t.reshape(b, h, w, cout)
+
             if "out_scale" in qparams:
                 q = _c1.conv1x1_int8_requant(
-                    xq.reshape(-1, cin), kq.reshape(cin, cout), scale,
+                    xm, kq.reshape(cin, cout), scale,
                     qparams["bias"], 1.0 / qparams["out_scale"], leaky=leaky)
-                return QAct(q.reshape(b, h, w, cout), qparams["out_scale"])
+                return QAct(back(q), qparams["out_scale"])
             y = _c1.conv1x1_int8_requant(
-                xq.reshape(-1, cin), kq.reshape(cin, cout), scale,
+                xm, kq.reshape(cin, cout), scale,
                 qparams["bias"], 1.0, leaky=leaky, out_dtype=fp_dtype)
-            return y.reshape(b, h, w, cout)
+            return back(y)
 
     if explicit_pad is not None:
         padding = [tuple(explicit_pad[0]), tuple(explicit_pad[1])]

@@ -112,8 +112,17 @@ def conv1x1_int8_requant(xq, wq, scale, bias, inv_out_scale, *, leaky: bool,
       jnp.asarray(inv_out_scale, jnp.float32).reshape(1, 1))
 
 
+# Channel gates: only layers whose operands fill the 128-lane VPU/MXU and
+# whose activations XLA keeps row-major in-model. Early high-resolution
+# layers (cin 64/128) are laid out batch-minor inside the full program —
+# a Pallas custom call there forces transpose copies that cost more than
+# the accumulator round-trip it saves (measured end-to-end, PERF.md).
+MIN_CIN = 256
+MIN_COUT = 128
+
+
 def eligible(kernel_q_shape, stride: int, explicit_pad) -> bool:
     """Structural check: is this conv the 1×1 stride-1 matmul case?"""
-    kh, kw = kernel_q_shape[0], kernel_q_shape[1]
+    kh, kw, cin, cout = kernel_q_shape
     return (_PALLAS_OK and kh == 1 and kw == 1 and stride == 1
-            and explicit_pad is None)
+            and explicit_pad is None and cin >= MIN_CIN and cout >= MIN_COUT)
