@@ -60,6 +60,41 @@ def test_two_process_step_agrees_across_processes(smoke_losses):
     assert smoke_losses[0] == pytest.approx(smoke_losses[1], rel=1e-6)
 
 
+def test_train_cli_multihost(repo_root, toy_dataset, tmp_path):
+    """The actual train CLI across 2 processes: `multihost:` config key →
+    global 4-device mesh, per-process local-shard feeding, process-0-only
+    checkpoint writes (BASELINE configs[3] scaled down to CPU)."""
+    import yaml
+
+    port = _free_port()
+    base = yaml.safe_load(open(os.path.join(repo_root, "config/train_config.yaml")))
+    base.update(image_size=96, epochs=1, batch_size=4, training_mode="fit",
+                output_checkpoints_path=str(tmp_path / "mh.tf"))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["YOLOV3_TPU_PLATFORM"] = "cpu"
+    procs = []
+    for pid in range(2):
+        cfg = dict(base, multihost={"coordinator_address": f"localhost:{port}",
+                                    "num_processes": 2, "process_id": pid})
+        cfg_path = tmp_path / f"cfg{pid}.yaml"
+        cfg_path.write_text(yaml.safe_dump(cfg))
+        procs.append(subprocess.Popen(
+            [sys.executable, "train.py", "--config", str(cfg_path)],
+            cwd=repo_root, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"train process failed:\n{out[-4000:]}"
+    assert "multihost: process 0/2, 2 local / 4 global devices" in outs[0]
+    assert "multihost: process 1/2, 2 local / 4 global devices" in outs[1]
+    for out in outs:
+        assert "data-parallel over 4 devices" in out
+    # process 0 wrote the checkpoint + full train state
+    assert os.path.exists(tmp_path / "mh.tf.npz")
+    assert os.path.exists(tmp_path / "mh.tf.train_state.npz")
+
+
 def test_two_process_step_matches_single_process(smoke_losses, repo_root):
     from yolov3_tpu.models import init_model, parse_model_config
     from yolov3_tpu.models.network import head_grid_sizes

@@ -112,14 +112,31 @@ class Train:
 
             enable_nan_debug()
 
+        # --- multi-host: join the distributed runtime BEFORE any JAX op ---
+        # `multihost: true` auto-detects a TPU pod; a dict passes
+        # coordinator_address/num_processes/process_id explicitly (e.g. the
+        # CPU multi-process validation in tests/test_multihost.py). After
+        # this, jax.devices() spans all hosts and the DP mesh below is
+        # global; each process feeds only its local_batch_slice.
+        multihost = kwargs.get("multihost")
+        if multihost:
+            from ..parallel.mesh import initialize_multihost
+
+            initialize_multihost(**(multihost if isinstance(multihost, dict) else {}))
+            log.info(f"multihost: process {jax.process_index()}/{jax.process_count()}, "
+                     f"{jax.local_device_count()} local / {jax.device_count()} global devices")
+        # only process 0 writes shared artifacts (summaries, checkpoints)
+        is_main = jax.process_index() == 0
+
         anchors_table = get_anchors(anchors_file)
         nclasses = count_file_lines(classes_name_file)
 
         spec = parse_model_config(model_config_file, nclasses)
         params, bn_state = init_model(jax.random.PRNGKey(kwargs.get("seed", 0)), spec)
 
-        with open("model_summary.txt", "w") as f:
-            f.write(model_summary(spec, params, image_size) + "\n")
+        if is_main:
+            with open("model_summary.txt", "w") as f:
+                f.write(model_summary(spec, params, image_size) + "\n")
 
         # --- transfer learning dispatch (reference train.py:160-166) ---
         trainable_mask = None
@@ -166,7 +183,7 @@ class Train:
                 n = int(np.asarray(cube)[..., 4].sum())
                 log.info(f"debug_mode: scale {s} (g={cube.shape[1]}): {n} boxes assigned")
 
-        if render_dataset_example:
+        if render_dataset_example and is_main:
             from ..utils.render import render_bboxes
 
             images, labels = next(iter(Batcher(ds_train, 1)))
@@ -185,6 +202,23 @@ class Train:
             mesh = make_mesh()
             log.info(f"data-parallel over {ndev} devices (mesh axes {mesh.axis_names})")
         sharding = batch_sharding(mesh) if mesh is not None else None
+
+        # multi-host: every process iterates the SAME deterministic dataset
+        # and contributes only its contiguous slice of each global batch
+        put = None
+        if multihost and jax.process_count() > 1:
+            if mesh is None:
+                raise ValueError(
+                    f"multihost training needs batch_size ({batch_size}) divisible "
+                    f"by the global device count ({ndev})")
+            from ..parallel.mesh import local_batch_slice
+
+            sl = local_batch_slice(batch_size)
+
+            def put(batch):
+                return tuple(
+                    jax.make_array_from_process_local_data(sharding, np.asarray(x)[sl])
+                    for x in batch)
 
         # space-to-depth stem reschedule: spec-only, params/grads/checkpoints
         # identical (ops/s2d.py::s2d_stem_train); `stem_s2d: true` opts in.
@@ -228,6 +262,13 @@ class Train:
             start_epoch = int(saved_epoch or 0) + 1
             log.info(f"resumed full train state from {state_path} at epoch {start_epoch}")
 
+        if put is not None:
+            # lift the (identical-on-every-process) local train state into
+            # replicated global arrays so the jitted step accepts it
+            from ..parallel.mesh import replicated_sharding
+
+            train_state = jax.device_put(train_state, replicated_sharding(mesh))
+
         best_val = float("inf")
         best_weights = None
         patience_left = early_stop_patience
@@ -242,7 +283,7 @@ class Train:
             nbatches = 0
             with trace(profile_trace_dir if epoch == start_epoch else None):
                 for images, labels in DevicePrefetcher(
-                    Batcher(ds_train, batch_size), sharding=sharding
+                    Batcher(ds_train, batch_size), sharding=sharding, put=put
                 ):
                     with timer:
                         train_state, metrics = train_step(train_state, images, labels)
@@ -257,7 +298,7 @@ class Train:
                 f"({nbatches * batch_size / dt:.1f} img/s)"
             )
 
-            if epoch % weights_save_peroid == 0:
+            if epoch % weights_save_peroid == 0 and is_main:
                 save_weights(spec, train_state["params"], train_state["bn_state"],
                              output_checkpoints_path, step=epoch)
                 save_checkpoint(state_path, train_state, step=epoch)
@@ -265,7 +306,7 @@ class Train:
             # validation pass (train.py:80-91)
             val_losses = []
             for batch_i, (images, labels) in enumerate(
-                DevicePrefetcher(Batcher(ds_val, batch_size), sharding=sharding)
+                DevicePrefetcher(Batcher(ds_val, batch_size), sharding=sharding, put=put)
             ):
                 metrics = eval_step(train_state["params"], train_state["bn_state"], images, labels)
                 val_losses.append(float(metrics["total_loss"]))
@@ -297,9 +338,10 @@ class Train:
         # final save so short runs always leave a checkpoint (the reference
         # only saves every weights_save_peroid epochs — train.py:76-78);
         # stamped with the actual last epoch so resume accounting stays correct
-        save_weights(spec, train_state["params"], train_state["bn_state"],
-                     output_checkpoints_path, step=last_epoch)
-        save_checkpoint(state_path, train_state, step=last_epoch)
+        if is_main:
+            save_weights(spec, train_state["params"], train_state["bn_state"],
+                         output_checkpoints_path, step=last_epoch)
+            save_checkpoint(state_path, train_state, step=last_epoch)
         if timer.durations:
             log.info(f"step timing: {timer.stats()}")
         return train_state

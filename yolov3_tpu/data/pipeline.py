@@ -122,10 +122,11 @@ class DevicePrefetcher:
     covers the device side.
     """
 
-    def __init__(self, iterable, buffer_size: int = 2, sharding=None):
+    def __init__(self, iterable, buffer_size: int = 2, sharding=None, put=None):
         self.iterable = iterable
         self.buffer_size = buffer_size
         self.sharding = sharding
+        self.put = put  # custom host→device transfer (multi-host local shards)
 
     def __iter__(self):
         import jax
@@ -137,7 +138,9 @@ class DevicePrefetcher:
         def worker():
             try:
                 for batch in self.iterable:
-                    if self.sharding is not None:
+                    if self.put is not None:
+                        batch = self.put(batch)
+                    elif self.sharding is not None:
                         batch = jax.device_put(batch, self.sharding)
                     else:
                         batch = jax.device_put(batch)
