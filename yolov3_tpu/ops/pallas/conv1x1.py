@@ -121,8 +121,16 @@ MIN_CIN = 256
 MIN_COUT = 128
 
 
+def _gates():
+    import os
+
+    return (int(os.environ.get("YOLOV3_PALLAS_1X1_MIN_CIN", MIN_CIN)),
+            int(os.environ.get("YOLOV3_PALLAS_1X1_MIN_COUT", MIN_COUT)))
+
+
 def eligible(kernel_q_shape, stride: int, explicit_pad) -> bool:
     """Structural check: is this conv the 1×1 stride-1 matmul case?"""
     kh, kw, cin, cout = kernel_q_shape
+    min_cin, min_cout = _gates()
     return (_PALLAS_OK and kh == 1 and kw == 1 and stride == 1
-            and explicit_pad is None and cin >= MIN_CIN and cout >= MIN_COUT)
+            and explicit_pad is None and cin >= min_cin and cout >= min_cout)
