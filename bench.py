@@ -56,6 +56,9 @@ QUANTIZE = os.environ.get("BENCH_QUANTIZE", "int8")
 # BENCH_PATH=fused uses ops.detect.detect (scores from logits, top-K-only
 # box decode) instead of the classic decode∘nms∘gather pipeline
 PATH = os.environ.get("BENCH_PATH", "classic")
+# BENCH_MODEL=yolov3_tiny benches the tiny variant (2 heads; the S2D stem
+# rewrite no-ops — tiny's stem is conv+maxpool, not the Darknet conv pair)
+MODEL = os.environ.get("BENCH_MODEL", "yolov3")
 
 
 def main():
@@ -63,7 +66,7 @@ def main():
     from yolov3_tpu.ops.decode import yolo_decode
     from yolov3_tpu.ops.nms import yolo_nms, gather_detections
 
-    spec = parse_model_config("config/models/yolov3/model.yaml", nclasses=80)
+    spec = parse_model_config(f"config/models/{MODEL}/model.yaml", nclasses=80)
     params, state = init_model(jax.random.PRNGKey(0), spec)
     folded = fold_batch_norm(params, state)
     if QUANTIZE in ("int8", "int8_chain"):
@@ -83,7 +86,10 @@ def main():
     else:
         # bf16 weights/activations; convs accumulate fp32 on the MXU
         folded16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), folded)
-    anchors = np.abs(np.random.RandomState(0).randn(3, 3, 2)).astype(np.float32) * 0.2 + 0.05
+    from yolov3_tpu.models.network import head_grid_sizes
+
+    nheads = len(head_grid_sizes(spec, IMAGE_SIZE))
+    anchors = np.abs(np.random.RandomState(0).randn(nheads, 3, 2)).astype(np.float32) * 0.2 + 0.05
 
     def predict_one(p, images):
         outs, _ = apply_model(spec, p, {}, images.astype(jnp.bfloat16), train=False)
@@ -135,7 +141,7 @@ def main():
 
     images_per_sec = BATCH * ITERS / best
     print(json.dumps({
-        "metric": f"yolov3_{IMAGE_SIZE}_batch_inference_images_per_sec_per_chip",
+        "metric": f"{MODEL}_{IMAGE_SIZE}_batch_inference_images_per_sec_per_chip",
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / H100_IMAGES_PER_SEC, 4),
