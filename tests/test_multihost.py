@@ -66,33 +66,51 @@ def test_train_cli_multihost(repo_root, toy_dataset, tmp_path):
     checkpoint writes (BASELINE configs[3] scaled down to CPU)."""
     import yaml
 
-    port = _free_port()
     base = yaml.safe_load(open(os.path.join(repo_root, "config/train_config.yaml")))
-    base.update(image_size=96, epochs=1, batch_size=4, training_mode="fit",
-                output_checkpoints_path=str(tmp_path / "mh.tf"))
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["YOLOV3_TPU_PLATFORM"] = "cpu"
-    procs = []
-    for pid in range(2):
-        cfg = dict(base, multihost={"coordinator_address": f"localhost:{port}",
-                                    "num_processes": 2, "process_id": pid})
-        cfg_path = tmp_path / f"cfg{pid}.yaml"
-        cfg_path.write_text(yaml.safe_dump(cfg))
-        procs.append(subprocess.Popen(
-            [sys.executable, "train.py", "--config", str(cfg_path)],
-            cwd=repo_root, env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = [p.communicate(timeout=900)[0] for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"train process failed:\n{out[-4000:]}"
+
+    def run_both(epochs):
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            # per-PROCESS checkpoint paths model a pod WITHOUT a shared
+            # filesystem: only process 0 (the writer) ever has a state
+            # file, so resume must be decided and sourced from process 0
+            cfg = dict(base, image_size=96, epochs=epochs, batch_size=4,
+                       training_mode="fit", resume=True,
+                       output_checkpoints_path=str(tmp_path / f"mh{pid}.tf"),
+                       multihost={"coordinator_address": f"localhost:{port}",
+                                  "num_processes": 2, "process_id": pid})
+            cfg_path = tmp_path / f"cfg{pid}.yaml"
+            cfg_path.write_text(yaml.safe_dump(cfg))
+            procs.append(subprocess.Popen(
+                [sys.executable, "train.py", "--config", str(cfg_path)],
+                cwd=repo_root, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, f"train process failed:\n{out[-4000:]}"
+        return outs
+
+    outs = run_both(epochs=1)
     assert "multihost: process 0/2, 2 local / 4 global devices" in outs[0]
     assert "multihost: process 1/2, 2 local / 4 global devices" in outs[1]
     for out in outs:
         assert "data-parallel over 4 devices" in out
-    # process 0 wrote the checkpoint + full train state
-    assert os.path.exists(tmp_path / "mh.tf.npz")
-    assert os.path.exists(tmp_path / "mh.tf.train_state.npz")
+    # process 0 wrote the checkpoint + full train state; process 1 didn't
+    assert os.path.exists(tmp_path / "mh0.tf.npz")
+    assert os.path.exists(tmp_path / "mh0.tf.train_state.npz")
+    assert not os.path.exists(tmp_path / "mh1.tf.npz")
+
+    # resume: only process 0 has the state file — the decision and the
+    # restored state must be broadcast so both processes start at epoch 2
+    # with identical parameters (divergence would corrupt the all-reduce
+    # or hang one process in a collective)
+    outs = run_both(epochs=2)
+    for out in outs:
+        assert "resumed full train state" in out and "at epoch 2" in out
 
 
 def test_two_process_step_matches_single_process(smoke_losses, repo_root):

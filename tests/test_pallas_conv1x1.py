@@ -61,6 +61,11 @@ def test_kernel_fp_output_path():
 def test_conv2d_int8_routes_through_kernel(monkeypatch):
     """With the switch forced on (interpret mode), conv2d_int8's 1×1 path
     must produce the same QAct chain results as the XLA path."""
+    # ambient A/B-sweep env vars would override the monkeypatched switch
+    # (env wins in _pallas_1x1_enabled) and make this test vacuous
+    for var in ("YOLOV3_PALLAS_1X1", "YOLOV3_PALLAS_1X1_MIN_CIN",
+                "YOLOV3_PALLAS_1X1_MIN_COUT", "YOLOV3_PALLAS_1X1_LAYOUT"):
+        monkeypatch.delenv(var, raising=False)
     monkeypatch.setattr(C, "_INTERPRET", True)
     monkeypatch.setattr(L, "_PALLAS_1X1", False)
 
@@ -102,7 +107,9 @@ def test_conv2d_int8_routes_through_kernel(monkeypatch):
     assert isinstance(out3, L.QAct)  # runs the XLA path fine
 
 
-def test_eligibility():
+def test_eligibility(monkeypatch):
+    for var in ("YOLOV3_PALLAS_1X1_MIN_CIN", "YOLOV3_PALLAS_1X1_MIN_COUT"):
+        monkeypatch.delenv(var, raising=False)
     big = (1, 1, C.MIN_CIN, C.MIN_COUT)
     assert C.eligible(big, 1, None)
     assert not C.eligible((3, 3, C.MIN_CIN, C.MIN_COUT), 1, None)

@@ -103,3 +103,19 @@ def test_batch_tiling_divisor():
         b=b, h=h, w=w, interpret=True)
     ref = _ref_block(xq, w1, w2, *args)
     np.testing.assert_array_equal(np.asarray(R.from_halo(out, b, h, w)), ref)
+
+
+def test_auto_bt_fails_fast_when_alignment_exceeds_budget():
+    """13² C=1024 (odd rows/img): the sublane-aligned batch tile (bt=8)
+    needs ~24.7 MB VMEM — auto-pick must raise a clear ValueError instead
+    of selecting it and dying in Mosaic's allocator at compile time."""
+    b, h, w, c, cm = 128, 13, 13, 1024, 512
+    xp = jnp.zeros(((h + 2) * (w + 2) * b, c), jnp.int8)
+    w1 = jnp.zeros((c, cm), jnp.int8)
+    w2 = jnp.zeros((9, cm, c), jnp.int8)
+    ones_m = jnp.ones(cm, jnp.float32)
+    ones_c = jnp.ones(c, jnp.float32)
+    with pytest.raises(ValueError, match="VMEM budget"):
+        R.fused_resblock(xp, w1, w2, ones_m, ones_m, 1.0,
+                         ones_c, ones_c, 1.0, 0.1, 0.1, 1.0,
+                         b=b, h=h, w=w, interpret=False)

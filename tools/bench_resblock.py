@@ -11,10 +11,11 @@ involvement), completion forced via a scalar checksum fetch.
 """
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -68,7 +69,7 @@ def main():
             return jnp.sum(jnp.abs(final.astype(jnp.int32)))
 
         w1f = w1.reshape(c, cm)
-        w2f = w2.transpose(0, 1, 2, 3).reshape(9, cm, c)
+        w2f = w2.reshape(9, cm, c)
         inv1 = 1.0 / s1
         inv2 = 1.0 / s2
         inv_out = 1.0 / s_out

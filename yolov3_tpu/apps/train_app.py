@@ -257,9 +257,27 @@ class Train:
 
         state_path = native_path(output_checkpoints_path).replace(".npz", ".train_state.npz")
         start_epoch = 1
-        if resume and os.path.exists(state_path):
-            train_state, saved_epoch = load_checkpoint(state_path, like=train_state)
-            start_epoch = int(saved_epoch or 0) + 1
+        # Multi-host: checkpoints are written by process 0 only, so the
+        # resume DECISION and the restored state must both come from
+        # process 0 — per-process os.path.exists would diverge on pods
+        # without a shared filesystem (different start epochs ⇒ collective
+        # hang; different params ⇒ silently corrupted all-reduces).
+        multiproc = multihost and jax.process_count() > 1
+        do_resume = resume and os.path.exists(state_path)
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            do_resume = bool(multihost_utils.broadcast_one_to_all(
+                np.asarray(do_resume and is_main)))
+        if do_resume:
+            if not multiproc or is_main:
+                train_state, saved_epoch = load_checkpoint(state_path, like=train_state)
+                start_epoch = int(saved_epoch or 0) + 1
+            if multiproc:
+                # non-main processes receive process 0's restored state
+                train_state = multihost_utils.broadcast_one_to_all(train_state)
+                start_epoch = int(multihost_utils.broadcast_one_to_all(
+                    np.asarray(start_epoch)))
             log.info(f"resumed full train state from {state_path} at epoch {start_epoch}")
 
         if put is not None:

@@ -125,7 +125,7 @@ def _pallas_1x1_enabled() -> bool:
 
     env = os.environ.get("YOLOV3_PALLAS_1X1")
     if env is not None:
-        return env not in ("0", "false", "off")
+        return env.strip().lower() not in ("", "0", "false", "off", "no")
     if _PALLAS_1X1 == "auto":
         return jax.default_backend() == "tpu"
     return bool(_PALLAS_1X1)

@@ -156,7 +156,8 @@ def fused_resblock(xp, w1, w2, scale1, bias1, inv_s1, scale2, bias2,
 
     if bt is None:
         # fit the s32 accumulators + scratch in ~8 MiB
-        bt = max(1, min(b, (8 * 2**20) // (rows_img * (8 * c + 5 * cm))))
+        budget_bt = max(1, min(b, (8 * 2**20) // (rows_img * (8 * c + 5 * cm))))
+        bt = budget_bt
         while bt > 1 and not ok(bt):
             bt -= 1
         if not ok(bt):  # odd rows/img: grow to the first aligned multiple
@@ -165,6 +166,16 @@ def fused_resblock(xp, w1, w2, scale1, bias1, inv_s1, scale2, bias2,
                 raise ValueError(
                     f"no batch tile for B={b}, rows/img={rows_img} with "
                     f"rows%8==0 — pass bt explicitly")
+            if bt > budget_bt:
+                # regrowing past the budget-derived tile would exceed VMEM
+                # (e.g. 13² C=1024: odd rows/img forces bt%8==0 but bt=8
+                # needs ~24.7 MB) — fail fast instead of a Mosaic
+                # allocation error at compile time
+                raise ValueError(
+                    f"aligned batch tile bt={bt} exceeds the VMEM budget "
+                    f"(budget allows bt≤{budget_bt}) for B={b}, "
+                    f"rows/img={rows_img}, C={c} — this shape needs a "
+                    f"channel-split grid; pass bt explicitly to override")
     rows = bt * rows_img
     if not ok(bt):
         raise ValueError(f"bt={bt} invalid for B={b}, rows/img={rows_img}")
