@@ -92,3 +92,53 @@ def test_convert_roundtrip_app(workdir):
     assert os.path.exists(f"{workdir}/converted.tf.npz")
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(out_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_transfer_learning_frozen_backbone(workdir, trained_checkpoint):
+    """BASELINE configs[2] shape: load a prior checkpoint's backbone, freeze
+    it (weights + BN stats), train heads only — the backbone must come out
+    bit-identical to the source checkpoint while head weights move.
+    Reference dispatch: train.py:160-166 + core/transfer_learning.py."""
+    import jax
+    from yolov3_tpu.apps.train_app import Train
+    from yolov3_tpu.io.resolve import load_weights
+    from yolov3_tpu.models import init_model, parse_model_config
+
+    cfg = yaml.safe_load(open("config/train_config.yaml"))
+    cfg["image_size"] = 96
+    cfg["epochs"] = 1
+    cfg["batch_size"] = 8
+    cfg["training_mode"] = "fit"
+    cfg["output_checkpoints_path"] = f"{workdir}/transfer.tf"
+    cfg["transfer_learning_config"] = {
+        "transfer_list": ["backbone"],
+        "freeze_train_list": ["backbone"],
+        "batch_norm_freeze_list": ["backbone"],
+        "input_weights_path": trained_checkpoint,
+    }
+    Train()(**cfg)
+
+    spec = parse_model_config(cfg["model_config_file"], nclasses=3)
+    init_p, init_s = init_model(jax.random.PRNGKey(0), spec)
+    src_p, src_s = load_weights(spec, init_p, init_s, trained_checkpoint)
+    out_p, out_s = load_weights(spec, init_p, init_s, cfg["output_checkpoints_path"])
+
+    # frozen backbone: params AND BN running stats bit-equal to the source
+    for a, b in zip(jax.tree.leaves(src_p["backbone"]),
+                    jax.tree.leaves(out_p["backbone"])):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg="backbone param moved despite freeze")
+    for a, b in zip(jax.tree.leaves(src_s.get("backbone", {})),
+                    jax.tree.leaves(out_s.get("backbone", {}))):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b),
+            err_msg="backbone BN state moved despite freeze")
+
+    # heads trained: at least one head conv kernel changed vs its source value
+    head_sm = [sm.name for sm in spec.sub_models if "head" in sm.name][0]
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(src_p[head_sm]), jax.tree.leaves(out_p[head_sm]))
+    )
+    assert moved, "head params did not change — training was a no-op"
