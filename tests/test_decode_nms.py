@@ -72,3 +72,52 @@ def test_nms_score_is_conf_times_best_prob():
     )
     assert int(np.asarray(cls)[0, 0]) == 1
     np.testing.assert_allclose(np.asarray(scores)[0, 0], 0.4, rtol=1e-6)
+
+
+def test_round_sweep_matches_matrix_sweep():
+    """The O(K)-memory round sweep (large-K path, _MATRIX_SWEEP_MAX_K) must
+    keep exactly the boxes the (K,K)-matrix scan sweep keeps — including
+    duplicate-box score ties and the fewer-keeps-than-max_boxes regime."""
+    import jax
+    import jax.numpy as jnp
+    from yolov3_tpu.ops import nms as M
+
+    rng = np.random.RandomState(42)
+    B, N, nclasses = 2, 600, 5
+    xy = rng.rand(B, N, 2) * 0.8
+    wh = rng.rand(B, N, 2) * 0.3 + 0.02
+    boxes = np.concatenate([xy, xy + wh], axis=-1).astype(np.float32)
+    boxes[:, 77] = boxes[:, 11]  # exact duplicates → tie-break coverage
+    conf = rng.rand(B, N, 1).astype(np.float32)
+    conf[:, 77] = conf[:, 11]
+    probs = rng.rand(B, N, nclasses).astype(np.float32)
+    probs[:, 77] = probs[:, 11]
+
+    scores = (conf[..., 0] * probs.max(-1)).astype(np.float32)
+    for max_boxes, score_t in ((100, 0.3), (50, 0.0), (200, 0.9), (600, 0.0)):
+        iou_thr = jnp.float32(0.5)
+        order, cand_boxes, cand_scores = jax.vmap(
+            lambda b, s: M._candidates(b, s, N))(jnp.asarray(boxes),
+                                                 jnp.asarray(scores))
+        valid = cand_scores > jnp.float32(score_t)
+        # drive the two sweeps directly — yolo_nms is jitted, so flipping
+        # the module threshold between same-shape calls would hit the trace
+        # cache and compare a path against itself
+        sup = jax.vmap(M._pairwise_iou)(cand_boxes) > iou_thr
+        keep_m = jax.vmap(M._scan_sweep)(sup, valid)
+        keep_r = jax.vmap(
+            lambda cb, v: M._round_sweep(cb, v, iou_thr, max_boxes))(
+            cand_boxes, valid)
+        sel_m, nv_m = jax.vmap(
+            lambda o, kp, s: M._compact(o, kp, s, max_boxes))(
+            order, keep_m, cand_scores)
+        sel_r, nv_r = jax.vmap(
+            lambda o, kp, s: M._compact(o, kp, s, max_boxes))(
+            order, keep_r, cand_scores)
+        np.testing.assert_array_equal(np.asarray(nv_m), np.asarray(nv_r),
+                                      err_msg=f"max_boxes={max_boxes} score_t={score_t}")
+        for b in range(B):
+            np.testing.assert_array_equal(
+                np.asarray(sel_m)[b][: int(nv_m[b])],
+                np.asarray(sel_r)[b][: int(nv_r[b])],
+                err_msg=f"max_boxes={max_boxes} score_t={score_t} b={b}")

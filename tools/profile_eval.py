@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Evaluation-sweep profiler: the batched-eval pipeline (BASELINE configs[4])
+on the real chip — forward + decode + exact-K NMS at each threshold of the
+reference sweep (config/evaluate_config.yaml: 0.004 ... 0.9), 608x608.
+
+The sweep thresholds are traced scalars, so all sweep entries that share a
+top-K bucket share ONE compiled program (yolov3_tpu/apps/evaluate_app.py);
+the low thresholds escalate K toward the full candidate count for exactness
+(ops/nms.py::yolo_nms_exact policy), which is the honest cost of the
+reference's 0.004 entry. Methodology matches bench.py: inputs staged in
+HBM, one lax.scan dispatch per timed pass, scalar-checksum fetch.
+
+Usage: python tools/profile_eval.py [--batch 32] [--image_size 608]
+           [--iters 8] [--quantize int8|bf16]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if "xla_tpu_scoped_vmem_limit_kib" not in os.environ.get("LIBTPU_INIT_ARGS", ""):
+    os.environ["LIBTPU_INIT_ARGS"] = (
+        os.environ.get("LIBTPU_INIT_ARGS", "") + " --xla_tpu_scoped_vmem_limit_kib=65536"
+    ).strip()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--image_size", type=int, default=608)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--quantize", default="bf16", choices=["bf16", "int8"])
+    ap.add_argument("--thresholds", default="0.004,0.1,0.2,0.5,0.9")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolov3_tpu.models import (apply_model, fold_batch_norm, init_model,
+                                   parse_model_config)
+    from yolov3_tpu.ops.decode import yolo_decode
+    from yolov3_tpu.ops.nms import yolo_nms
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.chdir(root)
+    spec = parse_model_config("config/models/yolov3/model.yaml", nclasses=80)
+    params, state = init_model(jax.random.PRNGKey(0), spec)
+    folded = fold_batch_norm(params, state)
+    if args.quantize == "int8":
+        from yolov3_tpu.ops.quantize import calibrate_scales, quantize_params
+
+        rng0 = np.random.RandomState(7)
+        in_am, _ = calibrate_scales(
+            spec, folded,
+            [rng0.rand(4, args.image_size, args.image_size, 3).astype(np.float32)])
+        run_params = quantize_params(spec, folded, in_am)
+    else:
+        run_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), folded)
+
+    anchors = np.abs(np.random.RandomState(0).randn(3, 3, 2)).astype(np.float32) * 0.2 + 0.05
+    B, S = args.batch, args.image_size
+    thresholds = [float(t) for t in args.thresholds.split(",")]
+
+    def sweep_pass_fn(k):
+        @jax.jit
+        def sweep_pass(p, base_u8, score_ts):
+            def body(carry, i):
+                xu = base_u8 + i.astype(jnp.uint8)
+                images = xu.astype(jnp.float32) * (1.0 / 255.0)
+                outs, _ = apply_model(spec, p, {}, images.astype(jnp.bfloat16),
+                                      train=False)
+                boxes, conf, probs = yolo_decode(outs, anchors, 80)
+
+                def one_threshold(c2, st):
+                    out = yolo_nms(boxes, conf, probs, max_boxes=100,
+                                   iou_threshold=0.5, score_threshold=st,
+                                   num_candidates=k)
+                    # checksum over detections + valid counts forces the
+                    # whole sweep entry to execute
+                    chk = (jnp.sum(out[0]) + jnp.sum(out[2])
+                           + jnp.sum(out[4].astype(jnp.float32)))
+                    return c2 + chk, None
+
+                total_t, _ = jax.lax.scan(one_threshold, jnp.float32(0), score_ts)
+                return carry + total_t, None
+
+            total, _ = jax.lax.scan(body, jnp.float32(0),
+                                    jnp.arange(args.iters, dtype=jnp.int32))
+            return total
+
+        return sweep_pass
+
+    n_anchors = sum(3 * g * g for g in
+                    (S // 32, S // 16, S // 8))
+    # the reference's 0.004 entry passes nearly every candidate with
+    # untrained weights — exactness needs K = full N (the honest eval cost);
+    # also time the serving-K bucket the high thresholds resolve to
+    rng = np.random.RandomState(0)
+    base_u8 = jax.device_put(
+        rng.randint(0, 256, (B, S, S, 3)).astype(np.uint8))
+    score_ts = jnp.asarray(thresholds, jnp.float32)
+
+    results = {}
+    for label, k in (("K=512", 512), (f"K=N({n_anchors})", n_anchors)):
+        fn = sweep_pass_fn(k)
+        _ = float(fn(run_params, base_u8, score_ts))  # compile+warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            chk = float(fn(run_params, base_u8, score_ts))
+            best = min(best, time.perf_counter() - t0)
+            assert np.isfinite(chk)
+        imgs = B * args.iters
+        results[label] = {
+            "ms_per_batch_full_sweep": round(best / args.iters * 1e3, 2),
+            "images_per_sec_full_sweep": round(imgs / best, 1),
+        }
+        print(json.dumps({"eval_sweep": label, "batch": B, "image_size": S,
+                          "thresholds": thresholds,
+                          "quantize": args.quantize, **results[label]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,9 @@ import numpy as np
 from jax import lax
 
 DEFAULT_NUM_CANDIDATES = 512
+# above this K the (B, K, K) suppression matrix is replaced by the
+# O(K)-memory round sweep (bool matrix at B=128 K=4096 is already ~2.1 GB)
+_MATRIX_SWEEP_MAX_K = 4096
 
 
 def _pairwise_iou(boxes):
@@ -62,6 +65,57 @@ def _scan_sweep(suppress_mat, valid):
         return keep, suppressed
 
     keep, _ = lax.fori_loop(0, k, body, (jnp.zeros((k,), bool), jnp.zeros((k,), bool)))
+    return keep
+
+
+def _iou_one_vs_all(box, boxes):
+    """box (4,) vs boxes (K, 4) → (K,) IoU. O(K) memory."""
+    lt = jnp.maximum(box[:2], boxes[:, :2])
+    rb = jnp.minimum(box[2:], boxes[:, 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[:, 0] * wh[:, 1]
+    area = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0.0) * jnp.maximum(
+        boxes[:, 3] - boxes[:, 1], 0.0
+    )
+    area_b = jnp.maximum(box[2] - box[0], 0.0) * jnp.maximum(box[3] - box[1], 0.0)
+    union = area_b + area - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+def _round_sweep(cand_boxes, valid, iou_thr, max_boxes: int):
+    """Greedy NMS without the K×K matrix: max_boxes rounds of
+    pick-highest-live → suppress-by-IoU (single image).
+
+    O(max_boxes·K) compute but O(K) memory — the memory-feasible path when
+    K escalates toward the full candidate count (e.g. the eval sweep's
+    0.004 threshold at 608², K≈22.7k, where the (K,K) suppression matrix
+    alone would exceed HBM). Candidates arrive score-sorted, so argmax's
+    first-index tie-break reproduces the matrix sweep (and TF) order.
+
+    Returns (keep (K,) bool — at most max_boxes set). Equivalent to
+    ``_scan_sweep`` truncated to the first max_boxes keeps — the outputs
+    are truncated to max_boxes by ``_compact`` anyway.
+    """
+    k = valid.shape[0]
+
+    def body(i, carry):
+        keep, live = carry
+        masked = jnp.where(live, 1.0, 0.0)
+        j = jnp.argmax(masked)  # first live index (candidates score-sorted)
+        found = masked[j] > 0.0
+        # .max (logical or): when nothing is live, argmax lands on index 0 —
+        # a plain .set(False) there would clear a round-0 keep
+        keep = keep.at[j].max(found)
+        iou = _iou_one_vs_all(cand_boxes[j], cand_boxes)
+        # the selected box leaves the live set and suppresses overlaps;
+        # when nothing was found, live is already all-False — no-op
+        live = live & ~((iou > iou_thr) & found)
+        live = live.at[j].set(False)
+        return keep, live
+
+    keep, _ = lax.fori_loop(
+        0, max_boxes, body, (jnp.zeros((k,), bool), valid)
+    )
     return keep
 
 
@@ -129,6 +183,20 @@ def yolo_nms(
         bboxes, scores
     )
     valid = cand_scores > score_thr
+
+    if k > _MATRIX_SWEEP_MAX_K:
+        # the (B, K, K) suppression matrix is memory-quadratic (the eval
+        # sweep's exact-K escalation reaches K≈22.7k at 608², where the
+        # matrix alone would exceed HBM) — switch to the O(K)-memory round
+        # sweep; identical keeps (tests pin it against the matrix path)
+        keep = jax.vmap(lambda b, v: _round_sweep(b, v, iou_thr, max_boxes))(
+            cand_boxes, valid
+        )
+        sel, nvalid = jax.vmap(lambda o, kp, s: _compact(o, kp, s, max_boxes))(
+            order, keep, cand_scores
+        )
+        return bboxes, class_indices, scores, sel, nvalid
+
     suppress_mat = jax.vmap(_pairwise_iou)(cand_boxes) > iou_thr
 
     if use_pallas:
