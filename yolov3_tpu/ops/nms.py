@@ -19,6 +19,7 @@ fuses into the surrounding jit.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -28,8 +29,9 @@ from jax import lax
 
 DEFAULT_NUM_CANDIDATES = 512
 # above this K the (B, K, K) suppression matrix is replaced by the
-# O(K)-memory round sweep (bool matrix at B=128 K=4096 is already ~2.1 GB)
-_MATRIX_SWEEP_MAX_K = 4096
+# O(K)-memory round sweep (bool matrix at B=128 K=4096 is already ~2.1 GB);
+# YOLOV3_NMS_MATRIX_MAX_K overrides for A/B tuning
+_MATRIX_SWEEP_MAX_K = int(os.environ.get("YOLOV3_NMS_MATRIX_MAX_K", 4096))
 
 
 def _pairwise_iou(boxes):
