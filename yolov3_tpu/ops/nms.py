@@ -121,6 +121,41 @@ def _round_sweep(cand_boxes, valid, iou_thr, max_boxes: int):
     return keep
 
 
+def _round_sweep_direct(boxes, scores, valid, iou_thr, max_boxes: int):
+    """Round sweep on UNSORTED candidates, emitting selected original
+    indices in selection order (single image).
+
+    At K = N the top-K sort is redundant: each round's ``argmax`` picks the
+    highest live score, and argmax's first-index tie-break equals TF's
+    stable descending sort (lower original index wins among equal scores).
+    Skips the argsort + gather of ``_candidates`` entirely.
+
+    Returns (sel (max_boxes,) int32 — original indices, zero-padded like
+    TF's pad_to_max_output_size; num_valid () int32).
+    """
+    neg = jnp.float32(-jnp.inf)
+
+    def body(i, carry):
+        sel, nv, live = carry
+        masked = jnp.where(live, scores.astype(jnp.float32), neg)
+        j = jnp.argmax(masked)
+        found = masked[j] > neg
+        sel = sel.at[i].set(jnp.where(found, j, 0).astype(jnp.int32))
+        nv = nv + found.astype(jnp.int32)
+        iou = _iou_one_vs_all(boxes[j].astype(jnp.float32),
+                              boxes.astype(jnp.float32))
+        live = live & ~((iou > iou_thr) & found)
+        live = live.at[j].set(False)
+        return sel, nv, live
+
+    sel, nv, _ = lax.fori_loop(
+        0, max_boxes,
+        body,
+        (jnp.zeros((max_boxes,), jnp.int32), jnp.int32(0), valid),
+    )
+    return sel, nv
+
+
 def _compact(order, keep, scores_sorted, max_boxes: int):
     """Kept candidates (already score-ordered) → padded selected indices."""
     rank = jnp.cumsum(keep) - 1
@@ -180,6 +215,24 @@ def yolo_nms(
 
     iou_thr = jnp.float32(iou_threshold)
     score_thr = jnp.float32(score_threshold)
+
+    if k >= n and k > _MATRIX_SWEEP_MAX_K:
+        # full-candidate exactness bucket: the top-K sort is redundant
+        # (argmax tie-break == TF's stable sort) — sweep directly. On TPU
+        # the VMEM-resident Pallas kernel runs the whole greedy loop
+        # without per-round HBM traffic (2.7× the XLA loop standalone,
+        # bit-identical — ops/pallas/round_sweep.py)
+        if jax.default_backend() == "tpu":
+            from .pallas.round_sweep import pallas_round_sweep
+
+            sel, nvalid = pallas_round_sweep(
+                bboxes, scores, iou_thr, score_thr, max_boxes=max_boxes)
+        else:
+            sel, nvalid = jax.vmap(
+                lambda b, s: _round_sweep_direct(b, s, s > score_thr,
+                                                 iou_thr, max_boxes)
+            )(bboxes, scores)
+        return bboxes, class_indices, scores, sel, nvalid
 
     order, cand_boxes, cand_scores = jax.vmap(lambda b, s: _candidates(b, s, k))(
         bboxes, scores
