@@ -316,7 +316,13 @@ def yolo_nms_exact(
         thr = float(score_threshold)
         if not nms_inexact_mask(scores, nvalid, max_boxes, thr, k).any():
             return out
-        k = min(n, k * 2)
+        if jax.default_backend() == "tpu":
+            # the Pallas K=N round-sweep bucket (79 ms/batch32 full sweep)
+            # is cheaper than any intermediate sorted bucket plus its
+            # recompile — escalate straight to exactness
+            k = n
+        else:
+            k = min(n, k * 2)
 
 
 def gather_detections(bboxes, class_indices, scores, selected, num_valid):
