@@ -105,15 +105,19 @@ def test_round_sweep_matches_matrix_sweep():
         # cache and compare a path against itself
         sup = jax.vmap(M._pairwise_iou)(cand_boxes) > iou_thr
         keep_m = jax.vmap(M._scan_sweep)(sup, valid)
-        keep_r = jax.vmap(
-            lambda cb, v: M._round_sweep(cb, v, iou_thr, max_boxes))(
-            cand_boxes, valid)
         sel_m, nv_m = jax.vmap(
             lambda o, kp, s: M._compact(o, kp, s, max_boxes))(
             order, keep_m, cand_scores)
-        sel_r, nv_r = jax.vmap(
-            lambda o, kp, s: M._compact(o, kp, s, max_boxes))(
-            order, keep_r, cand_scores)
+        # the large-K production composition: direct round sweep over the
+        # sorted candidates, positions mapped back through `order`
+        sel_pos, nv_r = jax.vmap(
+            lambda cb, cs, v: M._round_sweep_direct(cb, cs, v, iou_thr,
+                                                    max_boxes))(
+            cand_boxes, cand_scores, valid)
+        sel_r = jnp.where(
+            jnp.arange(max_boxes)[None, :] < nv_r[:, None],
+            jnp.take_along_axis(order.astype(jnp.int32), sel_pos, axis=1),
+            0)
         np.testing.assert_array_equal(np.asarray(nv_m), np.asarray(nv_r),
                                       err_msg=f"max_boxes={max_boxes} score_t={score_t}")
         for b in range(B):

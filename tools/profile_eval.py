@@ -58,6 +58,11 @@ def main():
             spec, folded,
             [rng0.rand(4, args.image_size, args.image_size, 3).astype(np.float32)])
         run_params = quantize_params(spec, folded, in_am)
+        # same int8 tier as bench.py: bit-exact space-to-depth stem rewrite
+        from yolov3_tpu.ops.s2d import s2d_stem
+
+        spec, run_params = s2d_stem(spec, run_params,
+                                    image_size=args.image_size)
     else:
         run_params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), folded)
 
@@ -79,9 +84,11 @@ def main():
                     out = yolo_nms(boxes, conf, probs, max_boxes=100,
                                    iou_threshold=0.5, score_threshold=st,
                                    num_candidates=k)
-                    # checksum over detections + valid counts forces the
-                    # whole sweep entry to execute
-                    chk = (jnp.sum(out[0]) + jnp.sum(out[2])
+                    # checksum includes the SELECTED INDICES (out[3]) —
+                    # out[0]/out[2] are NMS-invariant pass-throughs, so
+                    # without out[3] XLA could dead-code-eliminate the
+                    # selection emission
+                    chk = (jnp.sum(out[3].astype(jnp.float32))
                            + jnp.sum(out[4].astype(jnp.float32)))
                     return c2 + chk, None
 

@@ -29,7 +29,8 @@ from ..eval.detections_evaluator import APAccumulator, EvaluateDetections
 from ..io.resolve import load_weights
 from ..models import parse_model_config, init_model, apply_model, fold_batch_norm
 from ..ops.decode import yolo_decode
-from ..ops.nms import DEFAULT_NUM_CANDIDATES, nms_inexact_mask, yolo_nms
+from ..ops.nms import (DEFAULT_NUM_CANDIDATES, next_escalation_k,
+                       nms_inexact_mask, yolo_nms)
 
 log = logging.getLogger(__name__)
 
@@ -151,7 +152,7 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
             while k < n_cand and nms_inexact_mask(
                 out[2], out[4], yolo_max_boxes, score_threshold, k
             ).any():
-                k = min(n_cand, k * 2)
+                k = next_escalation_k(k, n_cand)
                 log.info(f"NMS top-K escalation to K={k} at score_threshold="
                          f"{score_threshold} (exactness guarantee)")
                 out = predict(jnp.asarray(images), jnp.float32(nms_iou_threshold),

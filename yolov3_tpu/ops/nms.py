@@ -84,43 +84,6 @@ def _iou_one_vs_all(box, boxes):
     return jnp.where(union > 0, inter / union, 0.0)
 
 
-def _round_sweep(cand_boxes, valid, iou_thr, max_boxes: int):
-    """Greedy NMS without the K×K matrix: max_boxes rounds of
-    pick-highest-live → suppress-by-IoU (single image).
-
-    O(max_boxes·K) compute but O(K) memory — the memory-feasible path when
-    K escalates toward the full candidate count (e.g. the eval sweep's
-    0.004 threshold at 608², K≈22.7k, where the (K,K) suppression matrix
-    alone would exceed HBM). Candidates arrive score-sorted, so argmax's
-    first-index tie-break reproduces the matrix sweep (and TF) order.
-
-    Returns (keep (K,) bool — at most max_boxes set). Equivalent to
-    ``_scan_sweep`` truncated to the first max_boxes keeps — the outputs
-    are truncated to max_boxes by ``_compact`` anyway.
-    """
-    k = valid.shape[0]
-
-    def body(i, carry):
-        keep, live = carry
-        masked = jnp.where(live, 1.0, 0.0)
-        j = jnp.argmax(masked)  # first live index (candidates score-sorted)
-        found = masked[j] > 0.0
-        # .max (logical or): when nothing is live, argmax lands on index 0 —
-        # a plain .set(False) there would clear a round-0 keep
-        keep = keep.at[j].max(found)
-        iou = _iou_one_vs_all(cand_boxes[j], cand_boxes)
-        # the selected box leaves the live set and suppresses overlaps;
-        # when nothing was found, live is already all-False — no-op
-        live = live & ~((iou > iou_thr) & found)
-        live = live.at[j].set(False)
-        return keep, live
-
-    keep, _ = lax.fori_loop(
-        0, max_boxes, body, (jnp.zeros((k,), bool), valid)
-    )
-    return keep
-
-
 def _round_sweep_direct(boxes, scores, valid, iou_thr, max_boxes: int):
     """Round sweep on UNSORTED candidates, emitting selected original
     indices in selection order (single image).
@@ -205,6 +168,7 @@ def yolo_nms(
 
     n = scores.shape[1]
     k = min(num_candidates, n)
+    pallas_opt_out = use_pallas is False  # explicit escape hatch, pre-normalization
     if use_pallas is None:
         # Measured on TPU v5e: standalone NMS the Pallas sweep is ~11× the
         # scan, but fused into the full detect pipeline XLA schedules the
@@ -221,8 +185,9 @@ def yolo_nms(
         # (argmax tie-break == TF's stable sort) — sweep directly. On TPU
         # the VMEM-resident Pallas kernel runs the whole greedy loop
         # without per-round HBM traffic (2.7× the XLA loop standalone,
-        # bit-identical — ops/pallas/round_sweep.py)
-        if jax.default_backend() == "tpu":
+        # bit-identical — ops/pallas/round_sweep.py). use_pallas=False is
+        # honored as the escape hatch (XLA fori_loop sweep).
+        if not pallas_opt_out and jax.default_backend() == "tpu":
             from .pallas.round_sweep import pallas_round_sweep
 
             sel, nvalid = pallas_round_sweep(
@@ -242,13 +207,17 @@ def yolo_nms(
     if k > _MATRIX_SWEEP_MAX_K:
         # the (B, K, K) suppression matrix is memory-quadratic (the eval
         # sweep's exact-K escalation reaches K≈22.7k at 608², where the
-        # matrix alone would exceed HBM) — switch to the O(K)-memory round
-        # sweep; identical keeps (tests pin it against the matrix path)
-        keep = jax.vmap(lambda b, v: _round_sweep(b, v, iou_thr, max_boxes))(
-            cand_boxes, valid
-        )
-        sel, nvalid = jax.vmap(lambda o, kp, s: _compact(o, kp, s, max_boxes))(
-            order, keep, cand_scores
+        # matrix alone would exceed HBM) — run the O(K)-memory round sweep
+        # over the sorted candidates and map its sorted-positions back to
+        # original indices; identical keeps (tests pin it against the
+        # matrix path)
+        sel_pos, nvalid = jax.vmap(
+            lambda b, s, v: _round_sweep_direct(b, s, v, iou_thr, max_boxes)
+        )(cand_boxes, cand_scores, valid)
+        sel = jnp.where(
+            lax.broadcasted_iota(jnp.int32, sel_pos.shape, 1) < nvalid[:, None],
+            jnp.take_along_axis(order.astype(jnp.int32), sel_pos, axis=1),
+            0,
         )
         return bboxes, class_indices, scores, sel, nvalid
 
@@ -284,6 +253,21 @@ def nms_inexact_mask(scores, num_valid, max_boxes: int, score_threshold: float, 
     return (num_valid < max_boxes) & (above > k)
 
 
+def next_escalation_k(k: int, n: int) -> int:
+    """Next top-K bucket when truncation at ``k`` could have diverged.
+
+    On TPU, when the full candidate count lands on the Pallas round-sweep
+    path (n > _MATRIX_SWEEP_MAX_K), K=N is cheaper than any intermediate
+    sorted bucket plus its recompile — jump straight to exactness. When n
+    is small enough that K=N would take the quadratic (B,K,K) matrix path
+    (e.g. tiny@416: N=2,535), keep the doubling ladder: the cheap 1024/2048
+    buckets usually suffice and K=N offers no kernel advantage there.
+    """
+    if jax.default_backend() == "tpu" and n > _MATRIX_SWEEP_MAX_K:
+        return n
+    return min(n, k * 2)
+
+
 def yolo_nms_exact(
     bboxes,
     confidence,
@@ -316,13 +300,7 @@ def yolo_nms_exact(
         thr = float(score_threshold)
         if not nms_inexact_mask(scores, nvalid, max_boxes, thr, k).any():
             return out
-        if jax.default_backend() == "tpu":
-            # the Pallas K=N round-sweep bucket (79 ms/batch32 full sweep)
-            # is cheaper than any intermediate sorted bucket plus its
-            # recompile — escalate straight to exactness
-            k = n
-        else:
-            k = min(n, k * 2)
+        k = next_escalation_k(k, n)
 
 
 def gather_detections(bboxes, class_indices, scores, selected, num_valid):
