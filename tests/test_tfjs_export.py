@@ -54,3 +54,74 @@ def test_jax2tf_saved_model_roundtrip(repo_root, tmp_path):
     assert len(tf_outs) == len(jax_outs) == 2  # tiny: 2 heads
     for t, j in zip(tf_outs, jax_outs):
         np.testing.assert_allclose(np.asarray(t), np.asarray(j), atol=2e-5)
+
+
+@pytest.mark.parametrize("model_yaml,size", [
+    ("config/models/yolov3_tiny/model.yaml", 96),   # maxpool/upsample vocab
+    ("config/models/yolov3/model.yaml", 64),        # shortcut/route vocab
+])
+def test_tfjs_graph_model_roundtrip(repo_root, tmp_path, model_yaml, size):
+    """The pure-Python TFJS graph-model export (no tensorflowjs CLI):
+    export → read shards+topology back → run in TF → match the JAX
+    forward. Also pins the op set to the TFJS kernel registry."""
+    import jax
+    from yolov3_tpu.export import (TFJS_SUPPORTED_OPS, build_tf_graph,
+                                   read_graph_model, run_graph_model,
+                                   write_graph_model)
+    from yolov3_tpu.models import (apply_model, fold_batch_norm, init_model,
+                                   parse_model_config)
+    from yolov3_tpu.models.network import head_grid_sizes
+
+    cwd = os.getcwd()
+    os.chdir(repo_root)
+    try:
+        spec = parse_model_config(model_yaml, nclasses=3)
+    finally:
+        os.chdir(cwd)
+    params, state = init_model(jax.random.PRNGKey(1), spec)
+    # nonzero BN statistics so folding actually matters
+    state = jax.tree.map(lambda x: x + 0.25, state)
+    folded = fold_batch_norm(params, state)
+
+    graph_def, input_name, output_names = build_tf_graph(spec, folded, size)
+    assert {n.op for n in graph_def.node} <= TFJS_SUPPORTED_OPS
+    assert not graph_def.library.function  # flat graph, no PartitionedCall
+
+    grids = head_grid_sizes(spec, size)
+    out_dir = str(tmp_path / "tfjs")
+    write_graph_model(graph_def, out_dir, input_name, output_names,
+                      (1, size, size, 3),
+                      [(1, g, g, 3, 5 + 3) for g in grids])
+    assert os.path.exists(os.path.join(out_dir, "model.json"))
+
+    # the stripped topology must not carry weight payloads (the whole point
+    # of the manifest) — and every Const must be in the manifest
+    import json as _json
+    with open(os.path.join(out_dir, "model.json")) as f:
+        mj = _json.load(f)
+    const_nodes = [n for n in mj["modelTopology"]["node"] if n["op"] == "Const"]
+    for n in const_nodes:
+        tensor = n["attr"]["value"]["tensor"]
+        assert "tensorContent" not in tensor and "floatVal" not in tensor
+    manifest_names = {w["name"] for w in mj["weightsManifest"][0]["weights"]}
+    assert {n["name"] for n in const_nodes} == manifest_names
+
+    # round-trip: re-injected Const values must be bit-identical
+    from tensorflow.python.framework import tensor_util
+    graph_def2, _ = read_graph_model(out_dir)
+    by_name = {n.name: n for n in graph_def2.node}
+    for n in graph_def.node:
+        if n.op == "Const":
+            a = tensor_util.MakeNdarray(n.attr["value"].tensor)
+            b = tensor_util.MakeNdarray(by_name[n.name].attr["value"].tensor)
+            np.testing.assert_array_equal(a, b.astype(a.dtype))
+
+    x = np.random.RandomState(0).rand(1, size, size, 3).astype(np.float32)
+    tf_outs = run_graph_model(out_dir, x)
+
+    jax_outs, _ = apply_model(spec, folded, {}, x, train=False)
+    jax_outs = sorted((np.asarray(o) for o in jax_outs), key=lambda o: o.shape[1])
+    assert len(tf_outs) == len(jax_outs)
+    for t, j in zip(tf_outs, jax_outs):
+        assert t.shape == j.shape
+        np.testing.assert_allclose(t, j, atol=2e-4)

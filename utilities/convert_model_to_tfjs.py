@@ -2,11 +2,14 @@
 """Browser (TFJS) export — reference utilities/convert_model_to_tfjs.py analog.
 
 The reference shells out to ``tensorflowjs_converter`` on a Keras
-SavedModel. Here the JAX model is exported through ``jax2tf`` into a TF
-SavedModel first, then (if the tensorflowjs CLI is installed) converted to
-TFJS graph-model format with the reference's L2→L1L2 regularizer-name
-patch applied to model.json. Both tensorflow and tensorflowjs are gated:
-the command degrades to clear instructions when missing.
+SavedModel. Here the TFJS graph-model (model.json + weight shards — what
+``js/src/inference.js`` loads with ``tf.loadGraphModel``) is written by a
+pure-Python converter (``yolov3_tpu/export/tfjs_graph.py``): the BN-folded
+model is re-emitted as a flat TF GraphDef of TFJS-registry ops and the
+Const payloads are extracted into 4 MB shards. No tensorflowjs CLI needed.
+A jax2tf SavedModel is still exported alongside (the reference's
+``model.save`` artifact; useful for TF serving), and the reference's
+L2→L1L2 regularizer-name patch is applied to model.json for parity.
 """
 
 import argparse
@@ -55,6 +58,34 @@ def export_saved_model(model_config_file, weights_path, classes_name_file, image
     return out_dir
 
 
+def export_tfjs_graph_model(model_config_file, weights_path, classes_name_file,
+                            image_size, out_dir):
+    """Pure-Python TFJS graph-model export (no tensorflowjs CLI)."""
+    import jax
+
+    from yolov3_tpu.config import count_file_lines
+    from yolov3_tpu.export import build_tf_graph, write_graph_model
+    from yolov3_tpu.io.resolve import load_weights
+    from yolov3_tpu.models import (fold_batch_norm, init_model,
+                                   parse_model_config)
+    from yolov3_tpu.models.network import head_grid_sizes
+
+    nclasses = count_file_lines(classes_name_file)
+    spec = parse_model_config(model_config_file, nclasses)
+    params, state = init_model(jax.random.PRNGKey(0), spec)
+    params, state = load_weights(spec, params, state, weights_path)
+    folded = fold_batch_norm(params, state)
+
+    graph_def, input_name, output_names = build_tf_graph(spec, folded, image_size)
+    grids = head_grid_sizes(spec, image_size)
+    output_shapes = [(1, g, g, 3, 5 + nclasses) for g in grids]
+    path = write_graph_model(graph_def, out_dir, input_name, output_names,
+                             (1, image_size, image_size, 3), output_shapes)
+    patch_model_json(out_dir)
+    print(f"TFJS graph model written to {path}")
+    return path
+
+
 def patch_model_json(tfjs_dir):
     """Reference patch: '"L2"' → '"L1L2"' regularizer class name."""
     path = os.path.join(tfjs_dir, "model.json")
@@ -80,16 +111,16 @@ def main():
                        args.classes_name_file, args.image_size, args.saved_model_dir)
 
     converter = shutil.which("tensorflowjs_converter")
-    if not converter:
-        print("tensorflowjs_converter not installed — SavedModel export done; "
-              "run the converter on another machine:")
-        print(f"  tensorflowjs_converter --input_format=tf_saved_model "
-              f"{args.saved_model_dir} {args.tfjs_out_dir}")
+    if converter:
+        # official CLI if present (rare); our writer otherwise
+        subprocess.run([converter, "--input_format=tf_saved_model",
+                        args.saved_model_dir, args.tfjs_out_dir], check=True)
+        patch_model_json(args.tfjs_out_dir)
+        print(f"TFJS model written to {args.tfjs_out_dir}")
         return
-    subprocess.run([converter, "--input_format=tf_saved_model",
-                    args.saved_model_dir, args.tfjs_out_dir], check=True)
-    patch_model_json(args.tfjs_out_dir)
-    print(f"TFJS model written to {args.tfjs_out_dir}")
+    export_tfjs_graph_model(args.model_config_file, args.weights_path,
+                            args.classes_name_file, args.image_size,
+                            args.tfjs_out_dir)
 
 
 if __name__ == "__main__":

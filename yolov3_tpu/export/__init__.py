@@ -1,0 +1,9 @@
+"""Export backends (browser/TFJS graph-model)."""
+
+from .tfjs_graph import (  # noqa: F401
+    TFJS_SUPPORTED_OPS,
+    build_tf_graph,
+    read_graph_model,
+    run_graph_model,
+    write_graph_model,
+)
