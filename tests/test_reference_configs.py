@@ -52,6 +52,44 @@ def test_reference_evaluate_config_schema():
     assert "evaluate_nms_score_thresholds" in cfg
 
 
+def test_reference_train_config_e2e():
+    """A reference user switches over: the reference's own
+    config/train_config.yaml runs our train app END-TO-END on the
+    reference's own bundled dataset (data_files mode,
+    datasets/shapes/large_circle), with only run-length/output-path
+    overrides (epochs, checkpoint path). One eager_tf epoch at the
+    config's native 416² on yolov3-tiny, then the checkpoint must exist
+    and the logged loss be finite."""
+    import tempfile
+
+    import numpy as np
+
+    import jax
+
+    from yolov3_tpu.apps.train_app import Train
+    from yolov3_tpu.io.checkpoint import load_checkpoint
+    from yolov3_tpu.io.resolve import native_path
+
+    with open(os.path.join(REFERENCE, "config/train_config.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    assert cfg["dataset_config"]["input_data_source"] == "data_files"
+    assert cfg["image_size"] == 416 and cfg["training_mode"] == "eager_tf"
+
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg["epochs"] = 1
+        cfg["output_checkpoints_path"] = os.path.join(tmp, "ref_cfg_train.tf")
+        cwd = os.getcwd()
+        os.chdir(REFERENCE)  # dataset/classes/anchors paths are mount-relative
+        try:
+            Train()(**cfg)
+        finally:
+            os.chdir(cwd)
+        ckpt = native_path(cfg["output_checkpoints_path"])
+        assert os.path.exists(ckpt)
+        tree, _ = load_checkpoint(ckpt)
+        assert all(np.isfinite(leaf).all() for leaf in jax.tree.leaves(tree))
+
+
 def test_reference_compact_config_parses():
     from yolov3_tpu.models.compact_spec import parse_compact_model_config
 
