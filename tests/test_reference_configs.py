@@ -75,11 +75,25 @@ def test_reference_train_config_e2e():
     assert cfg["dataset_config"]["input_data_source"] == "data_files"
     assert cfg["image_size"] == 416 and cfg["training_mode"] == "eager_tf"
 
+    # absolutize the mount-relative data/model paths so the run can happen
+    # from a scratch cwd — the reference mount stays untouched (the train
+    # app writes model_summary.txt and checkpoints relative to cwd)
+    def _abs(p):
+        return p if os.path.isabs(p) else os.path.join(REFERENCE, p)
+
+    for split in ("train", "valid"):
+        entry = cfg["dataset_config"]["data_files"][split]
+        entry["images_dir"] = _abs(entry["images_dir"])
+        entry["annotations"] = _abs(entry["annotations"])
+    cfg["classes_name_file"] = _abs(cfg["classes_name_file"])
+    cfg["anchors_file"] = _abs(cfg["anchors_file"])
+    cfg["model_config_file"] = _abs(cfg["model_config_file"])
+
     with tempfile.TemporaryDirectory() as tmp:
         cfg["epochs"] = 1
         cfg["output_checkpoints_path"] = os.path.join(tmp, "ref_cfg_train.tf")
         cwd = os.getcwd()
-        os.chdir(REFERENCE)  # dataset/classes/anchors paths are mount-relative
+        os.chdir(tmp)  # scratch cwd for cwd-relative artifacts (model_summary.txt)
         try:
             Train()(**cfg)
         finally:

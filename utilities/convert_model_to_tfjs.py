@@ -6,35 +6,43 @@ SavedModel. Here the TFJS graph-model (model.json + weight shards — what
 ``js/src/inference.js`` loads with ``tf.loadGraphModel``) is written by a
 pure-Python converter (``yolov3_tpu/export/tfjs_graph.py``): the BN-folded
 model is re-emitted as a flat TF GraphDef of TFJS-registry ops and the
-Const payloads are extracted into 4 MB shards. No tensorflowjs CLI needed.
-A jax2tf SavedModel is still exported alongside (the reference's
-``model.save`` artifact; useful for TF serving), and the reference's
-L2→L1L2 regularizer-name patch is applied to model.json for parity.
+Const payloads are extracted into 4 MB shards. The tensorflowjs CLI is
+never needed — and deliberately never used: jax2tf under current JAX emits
+XlaCallModule-only graphs, so running the CLI on our SavedModel would
+produce a browser-unusable artifact. A jax2tf SavedModel is still exported
+alongside (the reference's ``model.save`` artifact; useful for TF
+serving), and the reference's L2→L1L2 regularizer-name patch is applied to
+model.json for parity.
 """
 
 import argparse
-import json
 import os
-import shutil
-import subprocess
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def export_saved_model(model_config_file, weights_path, classes_name_file, image_size, out_dir):
+def load_folded_model(model_config_file, weights_path, classes_name_file):
+    """(spec, folded_params) — parse, load weights, fold BN, once."""
     import jax
-    import jax.numpy as jnp
 
     from yolov3_tpu.config import count_file_lines
-    from yolov3_tpu.models import parse_model_config, init_model, apply_model, fold_batch_norm
     from yolov3_tpu.io.resolve import load_weights
+    from yolov3_tpu.models import fold_batch_norm, init_model, parse_model_config
 
     nclasses = count_file_lines(classes_name_file)
     spec = parse_model_config(model_config_file, nclasses)
     params, state = init_model(jax.random.PRNGKey(0), spec)
     params, state = load_weights(spec, params, state, weights_path)
-    folded = fold_batch_norm(params, state)
+    return spec, fold_batch_norm(params, state)
+
+
+def export_saved_model(model_config_file, weights_path, classes_name_file,
+                       image_size, out_dir, prebuilt=None):
+    from yolov3_tpu.models import apply_model
+
+    spec, folded = prebuilt or load_folded_model(
+        model_config_file, weights_path, classes_name_file)
 
     try:
         import tensorflow as tf
@@ -59,26 +67,17 @@ def export_saved_model(model_config_file, weights_path, classes_name_file, image
 
 
 def export_tfjs_graph_model(model_config_file, weights_path, classes_name_file,
-                            image_size, out_dir):
+                            image_size, out_dir, prebuilt=None):
     """Pure-Python TFJS graph-model export (no tensorflowjs CLI)."""
-    import jax
-
-    from yolov3_tpu.config import count_file_lines
     from yolov3_tpu.export import build_tf_graph, write_graph_model
-    from yolov3_tpu.io.resolve import load_weights
-    from yolov3_tpu.models import (fold_batch_norm, init_model,
-                                   parse_model_config)
     from yolov3_tpu.models.network import head_grid_sizes
 
-    nclasses = count_file_lines(classes_name_file)
-    spec = parse_model_config(model_config_file, nclasses)
-    params, state = init_model(jax.random.PRNGKey(0), spec)
-    params, state = load_weights(spec, params, state, weights_path)
-    folded = fold_batch_norm(params, state)
+    spec, folded = prebuilt or load_folded_model(
+        model_config_file, weights_path, classes_name_file)
 
     graph_def, input_name, output_names = build_tf_graph(spec, folded, image_size)
     grids = head_grid_sizes(spec, image_size)
-    output_shapes = [(1, g, g, 3, 5 + nclasses) for g in grids]
+    output_shapes = [(1, g, g, 3, 5 + spec.nclasses) for g in grids]
     path = write_graph_model(graph_def, out_dir, input_name, output_names,
                              (1, image_size, image_size, 3), output_shapes)
     patch_model_json(out_dir)
@@ -107,20 +106,14 @@ def main():
     parser.add_argument("--tfjs_out_dir", default="/tmp/yolov3_tfjs")
     args = parser.parse_args()
 
+    prebuilt = load_folded_model(args.model_config_file, args.weights_path,
+                                 args.classes_name_file)
     export_saved_model(args.model_config_file, args.weights_path,
-                       args.classes_name_file, args.image_size, args.saved_model_dir)
-
-    converter = shutil.which("tensorflowjs_converter")
-    if converter:
-        # official CLI if present (rare); our writer otherwise
-        subprocess.run([converter, "--input_format=tf_saved_model",
-                        args.saved_model_dir, args.tfjs_out_dir], check=True)
-        patch_model_json(args.tfjs_out_dir)
-        print(f"TFJS model written to {args.tfjs_out_dir}")
-        return
+                       args.classes_name_file, args.image_size,
+                       args.saved_model_dir, prebuilt=prebuilt)
     export_tfjs_graph_model(args.model_config_file, args.weights_path,
                             args.classes_name_file, args.image_size,
-                            args.tfjs_out_dir)
+                            args.tfjs_out_dir, prebuilt=prebuilt)
 
 
 if __name__ == "__main__":

@@ -92,6 +92,16 @@ def _emit_sub_model(tf, sm, sm_params, inputs_entry, nclasses: int):
     for i, layer in enumerate(sm.layers):
         if layer.kind == "convolutional":
             p = sm_params[f"layer{i}"]
+            if layer.get("explicit_pad") is not None or layer.get("s2d_phase"):
+                raise ValueError(
+                    f"{sm.name}/layer{i}: export requires the ORIGINAL spec — "
+                    "geometry-rewritten layers (ops/s2d.py) are a TPU-side "
+                    "optimization; export the un-rewritten model instead")
+            if "kernel_q" in p or "kernel" not in p:
+                raise ValueError(
+                    f"{sm.name}/layer{i}: export requires raw fp folded params "
+                    "(got int8-quantized); quantization is a TPU serving tier, "
+                    "re-fold from the fp checkpoint for export")
             kernel = np.asarray(p["kernel"], np.float32)
             bias = np.asarray(p["bias"], np.float32)
             stride = layer["stride"]

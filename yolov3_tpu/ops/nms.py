@@ -143,11 +143,16 @@ def yolo_nms(
 
     Args:
       bboxes: (B, N, 4) xyxy; confidence: (B, N, 1); class_probs: (B, N, nc).
-      use_pallas: None/False = the fused `lax.fori_loop` sweep (default —
-        measured faster inside the full detect pipeline, where XLA schedules
-        the scan well); True = explicit opt-in to the Pallas VMEM sweep
-        kernel (~11× faster standalone; requires TPU backend and K % 128 == 0,
-        silently falls back to the scan otherwise). See PERF.md "NMS
+      use_pallas: serving path (K ≤ the matrix-sweep bound): None/False =
+        the fused `lax.fori_loop` sweep (default — measured faster inside
+        the full detect pipeline, where XLA schedules the scan well);
+        True = explicit opt-in to the Pallas VMEM sweep kernel (~11× faster
+        standalone; requires TPU backend and K % 128 == 0, silently falls
+        back to the scan otherwise). Full-candidate exactness path
+        (K = N > the bound, e.g. the eval sweep's K=N escalation) the
+        default INVERTS: None selects the Pallas VMEM round-sweep kernel on
+        TPU (2.7× the XLA loop, bit-identical) and False is the explicit
+        escape hatch back to the XLA round sweep. See PERF.md "NMS
         implementations".
 
     Exactness: results are index-exact vs TF's non_max_suppression_padded
