@@ -125,3 +125,36 @@ def test_tfjs_graph_model_roundtrip(repo_root, tmp_path, model_yaml, size):
     for t, j in zip(tf_outs, jax_outs):
         assert t.shape == j.shape
         np.testing.assert_allclose(t, j, atol=2e-4)
+
+
+def test_tfjs_export_rejects_transformed_specs(repo_root):
+    """Exporting an s2d-rewritten or int8-quantized spec must fail fast
+    with an actionable message, not silently emit wrong geometry."""
+    import jax
+    from yolov3_tpu.export import build_tf_graph
+    from yolov3_tpu.models import fold_batch_norm, init_model, parse_model_config
+    from yolov3_tpu.ops.s2d import s2d_stem_train
+
+    cwd = os.getcwd()
+    os.chdir(repo_root)
+    try:
+        spec = parse_model_config("config/models/yolov3/model.yaml", nclasses=3)
+    finally:
+        os.chdir(cwd)
+    params, state = init_model(jax.random.PRNGKey(0), spec)
+    folded = fold_batch_norm(params, state)
+
+    s2d_spec = s2d_stem_train(spec, image_size=64)
+    assert s2d_spec is not spec  # the rewrite must actually trigger
+    with pytest.raises(ValueError, match="un-rewritten"):
+        build_tf_graph(s2d_spec, folded, 64)
+
+    # int8-quantized params (kernel_q, no kernel) must be rejected too
+    bad = {sm: dict(layers) for sm, layers in folded.items()}
+    first_sm = spec.sub_models[0].name
+    first_key = next(iter(bad[first_sm]))
+    entry = dict(bad[first_sm][first_key])
+    entry["kernel_q"] = entry.pop("kernel")
+    bad[first_sm][first_key] = entry
+    with pytest.raises(ValueError, match="quantiz"):
+        build_tf_graph(spec, bad, 64)
