@@ -127,6 +127,75 @@ def test_tfjs_graph_model_roundtrip(repo_root, tmp_path, model_yaml, size):
         np.testing.assert_allclose(t, j, atol=2e-4)
 
 
+def test_tfjs_quantized_manifest_roundtrip(repo_root, tmp_path):
+    """uint8/uint16 manifest quantization: shards shrink, entries carry the
+    tfjs `quantization` field, the reader's affine dequant bit-matches an
+    independent quantize→dequant, and the graph still runs close to fp."""
+    import jax
+    from yolov3_tpu.export import (build_tf_graph, quantize_weight,
+                                   read_graph_model, run_graph_model,
+                                   write_graph_model)
+    from yolov3_tpu.models import (apply_model, fold_batch_norm, init_model,
+                                   parse_model_config)
+    from yolov3_tpu.models.network import head_grid_sizes
+    from tensorflow.python.framework import tensor_util
+
+    cwd = os.getcwd()
+    os.chdir(repo_root)
+    try:
+        spec = parse_model_config("config/models/yolov3_tiny/model.yaml", nclasses=3)
+    finally:
+        os.chdir(cwd)
+    params, state = init_model(jax.random.PRNGKey(2), spec)
+    folded = fold_batch_norm(params, state)
+    size = 96
+    graph_def, input_name, output_names = build_tf_graph(spec, folded, size)
+    grids = head_grid_sizes(spec, size)
+    shapes = [(1, g, g, 3, 8) for g in grids]
+
+    fp_dir, q_dir = str(tmp_path / "fp"), str(tmp_path / "q8")
+    write_graph_model(graph_def, fp_dir, input_name, output_names,
+                      (1, size, size, 3), shapes)
+    write_graph_model(graph_def, q_dir, input_name, output_names,
+                      (1, size, size, 3), shapes, quantize="uint8")
+
+    def total_shard_bytes(d):
+        import glob
+        return sum(os.path.getsize(p) for p in glob.glob(os.path.join(d, "*.bin")))
+
+    assert total_shard_bytes(q_dir) < 0.3 * total_shard_bytes(fp_dir)
+
+    import json as _json
+    with open(os.path.join(q_dir, "model.json")) as f:
+        mj = _json.load(f)
+    qentries = [w for w in mj["weightsManifest"][0]["weights"] if "quantization" in w]
+    assert qentries and all(w["quantization"]["dtype"] == "uint8" and
+                            w["dtype"] == "float32" for w in qentries)
+
+    # reader dequant == independent quantize->dequant of the originals
+    graph_q, _ = read_graph_model(q_dir)
+    by_name = {n.name: n for n in graph_q.node}
+    for node in graph_def.node:
+        if node.op == "Const":
+            orig = tensor_util.MakeNdarray(node.attr["value"].tensor)
+            got = tensor_util.MakeNdarray(by_name[node.name].attr["value"].tensor)
+            if orig.dtype == np.float32:
+                q, meta = quantize_weight(np.ascontiguousarray(orig), "uint8")
+                expect = (q.astype(np.float32) * np.float32(meta["scale"])
+                          + np.float32(meta["min"]))
+                np.testing.assert_array_equal(got, expect.reshape(got.shape))
+
+    # the quantized graph still runs and tracks the fp forward loosely
+    x = np.random.RandomState(0).rand(1, size, size, 3).astype(np.float32)
+    q_outs = run_graph_model(q_dir, x)
+    jax_outs, _ = apply_model(spec, folded, {}, x, train=False)
+    jax_outs = sorted((np.asarray(o) for o in jax_outs), key=lambda o: o.shape[1])
+    for t, j in zip(q_outs, jax_outs):
+        assert t.shape == j.shape and np.isfinite(t).all()
+        # uint8 weight noise through 13 convs: demand correlation, not parity
+        assert np.corrcoef(t.ravel(), j.ravel())[0, 1] > 0.98
+
+
 def test_tfjs_export_rejects_transformed_specs(repo_root):
     """Exporting an s2d-rewritten or int8-quantized spec must fail fast
     with an actionable message, not silently emit wrong geometry."""

@@ -67,8 +67,12 @@ def export_saved_model(model_config_file, weights_path, classes_name_file,
 
 
 def export_tfjs_graph_model(model_config_file, weights_path, classes_name_file,
-                            image_size, out_dir, prebuilt=None):
-    """Pure-Python TFJS graph-model export (no tensorflowjs CLI)."""
+                            image_size, out_dir, prebuilt=None, quantize=None):
+    """Pure-Python TFJS graph-model export (no tensorflowjs CLI).
+
+    ``quantize``: None | "uint8" | "uint16" — affine manifest quantization
+    (the official converter's --quantize_uint8/16; 4×/2× smaller download).
+    """
     from yolov3_tpu.export import build_tf_graph, write_graph_model
     from yolov3_tpu.models.network import head_grid_sizes
 
@@ -79,9 +83,11 @@ def export_tfjs_graph_model(model_config_file, weights_path, classes_name_file,
     grids = head_grid_sizes(spec, image_size)
     output_shapes = [(1, g, g, 3, 5 + spec.nclasses) for g in grids]
     path = write_graph_model(graph_def, out_dir, input_name, output_names,
-                             (1, image_size, image_size, 3), output_shapes)
+                             (1, image_size, image_size, 3), output_shapes,
+                             quantize=quantize)
     patch_model_json(out_dir)
-    print(f"TFJS graph model written to {path}")
+    print(f"TFJS graph model written to {path}"
+          + (f" (weights {quantize}-quantized)" if quantize else ""))
     return path
 
 
@@ -104,6 +110,8 @@ def main():
     parser.add_argument("--image_size", type=int, default=416)
     parser.add_argument("--saved_model_dir", default="/tmp/yolov3_saved_model")
     parser.add_argument("--tfjs_out_dir", default="/tmp/yolov3_tfjs")
+    parser.add_argument("--quantize", choices=["uint8", "uint16"], default=None,
+                        help="affine-quantize manifest weights (smaller download)")
     args = parser.parse_args()
 
     prebuilt = load_folded_model(args.model_config_file, args.weights_path,
@@ -113,7 +121,8 @@ def main():
                        args.saved_model_dir, prebuilt=prebuilt)
     export_tfjs_graph_model(args.model_config_file, args.weights_path,
                             args.classes_name_file, args.image_size,
-                            args.tfjs_out_dir, prebuilt=prebuilt)
+                            args.tfjs_out_dir, prebuilt=prebuilt,
+                            quantize=args.quantize)
 
 
 if __name__ == "__main__":

@@ -3,6 +3,7 @@
 from .tfjs_graph import (  # noqa: F401
     TFJS_SUPPORTED_OPS,
     build_tf_graph,
+    quantize_weight,
     read_graph_model,
     run_graph_model,
     write_graph_model,

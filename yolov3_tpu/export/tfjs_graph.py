@@ -160,23 +160,47 @@ def _signature_entry(name, shape):
             "tensorShape": _tensor_shape_json(shape)}
 
 
+def quantize_weight(arr, dtype: str):
+    """Affine-quantize a float32 array the tensorflowjs way.
+
+    Returns ``(q, quantization_dict)`` with dequantization
+    ``w = q * scale + min`` — the exact affine map
+    ``tf.io.decodeWeights`` applies when a manifest entry carries a
+    ``quantization`` field (tensorflowjs_converter --quantize_uint8/16).
+    """
+    qdt = np.dtype(dtype)
+    levels = float(np.iinfo(qdt).max)  # 255 / 65535
+    lo = float(arr.min()) if arr.size else 0.0
+    hi = float(arr.max()) if arr.size else 0.0
+    scale = (hi - lo) / levels if hi > lo else 1.0
+    q = np.round((arr - lo) / scale).clip(0, levels).astype(qdt)
+    return q, {"dtype": dtype, "scale": scale, "min": lo}
+
+
 def write_graph_model(graph_def, out_dir: str, input_name: str,
                       output_names, input_shape, output_shapes,
-                      generated_by: str = "yolov3_tpu"):
+                      generated_by: str = "yolov3_tpu",
+                      quantize: str | None = None):
     """Write TFJS graph-model format: model.json + group1-shard*.bin.
 
     Const payloads go to the shards (manifest order = concatenation order);
     the JSON topology keeps each Const's dtype/shape only — the TFJS loader
     materializes Const nodes from the weight map by node name.
+
+    ``quantize``: None | "uint8" | "uint16" — affine-quantize float32
+    weights in the manifest (4×/2× smaller browser download, the official
+    converter's --quantize_uint8/16 feature); int32/bool consts stay raw.
     """
     from google.protobuf import json_format
     from tensorflow.python.framework import tensor_util
 
+    if quantize not in (None, "uint8", "uint16"):
+        raise ValueError(f"quantize must be None|uint8|uint16, got {quantize!r}")
     unsupported = sorted({n.op for n in graph_def.node} - TFJS_SUPPORTED_OPS)
     if unsupported:
         raise ValueError(f"graph contains ops outside the TFJS registry: {unsupported}")
 
-    weights = []  # (name, np array) in manifest order
+    weights = []  # (manifest entry, payload array) in manifest order
     for node in graph_def.node:
         if node.op == "Const":
             tensor = node.attr["value"].tensor
@@ -191,7 +215,11 @@ def write_graph_model(graph_def, out_dir: str, input_name: str,
                 # 32-bit); build_tf_graph only emits int32 shape/size consts
                 # so hitting this means a new op slipped in — fail loudly
                 raise ValueError(f"unsupported Const dtype {arr.dtype} at {node.name}")
-            weights.append((node.name, arr))
+            entry = {"name": node.name, "shape": list(arr.shape),
+                     "dtype": _NP_TO_TFJS_DTYPE[arr.dtype]}
+            if quantize and arr.dtype == np.float32:
+                arr, entry["quantization"] = quantize_weight(arr, quantize)
+            weights.append((entry, arr))
 
     topology = json_format.MessageToDict(graph_def)
     for node in topology.get("node", []):
@@ -223,11 +251,7 @@ def write_graph_model(graph_def, out_dir: str, input_name: str,
         "modelTopology": topology,
         "weightsManifest": [{
             "paths": paths,
-            "weights": [
-                {"name": name, "shape": list(arr.shape),
-                 "dtype": _NP_TO_TFJS_DTYPE[arr.dtype]}
-                for name, arr in weights
-            ],
+            "weights": [entry for entry, _ in weights],
         }],
     }
     with open(os.path.join(out_dir, "model.json"), "w") as f:
@@ -254,11 +278,16 @@ def read_graph_model(model_dir: str):
     weight_map = {}
     offset = 0
     for w in manifest["weights"]:
-        dtype = np.dtype(w["dtype"])
+        quant = w.get("quantization")
+        dtype = np.dtype(quant["dtype"] if quant else w["dtype"])
         count = int(np.prod(w["shape"], dtype=np.int64)) if w["shape"] else 1
         nbytes = count * dtype.itemsize
-        weight_map[w["name"]] = np.frombuffer(
+        arr = np.frombuffer(
             payload[offset:offset + nbytes], dtype=dtype).reshape(w["shape"])
+        if quant:  # tf.io.decodeWeights affine dequantization
+            arr = (arr.astype(np.float32) * np.float32(quant["scale"])
+                   + np.float32(quant["min"])).astype(w["dtype"])
+        weight_map[w["name"]] = arr
         offset += nbytes
     if offset != len(payload):
         raise ValueError(f"shard payload size mismatch: {offset} != {len(payload)}")
