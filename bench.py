@@ -40,6 +40,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Watchdog: on a wedged TPU tunnel the first device op blocks forever with
+# no output. Fail loudly instead so the harness records a diagnosis rather
+# than a silent hang (observed 2026-08-17: even jnp.sum hung >1h).
+BENCH_TIMEOUT_S = int(os.environ.get("BENCH_TIMEOUT_S", 1500))
+if hasattr(os, "fork") and BENCH_TIMEOUT_S > 0:
+    import signal
+
+    def _watchdog(signum, frame):
+        import sys
+
+        print(f"bench.py: no result after {BENCH_TIMEOUT_S}s — accelerator "
+              "backend unresponsive (wedged TPU tunnel?); aborting",
+              file=sys.stderr)
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(BENCH_TIMEOUT_S)
+
 H100_IMAGES_PER_SEC = 2000.0
 
 BATCH = int(os.environ.get("BENCH_BATCH", 128))
