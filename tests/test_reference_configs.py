@@ -104,6 +104,70 @@ def test_reference_train_config_e2e():
         assert all(np.isfinite(leaf).all() for leaf in jax.tree.leaves(tree))
 
 
+def test_pets_transfer_learning_smoke():
+    """BASELINE configs[2] on the REAL Oxford Pets by-breed COCO export
+    (reference mount): bundled config/train_config_pets.yaml drives a
+    frozen-backbone transfer run end-to-end — backbone transferred from a
+    (synthetic) COCO-80 checkpoint and bit-frozen, necks/heads train on
+    real pet images. Overrides are run-length only (examples/epochs/batch/
+    image_size/output path)."""
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from yolov3_tpu.apps.train_app import Train
+    from yolov3_tpu.io.resolve import load_weights, save_weights
+    from yolov3_tpu.models import init_model, parse_model_config
+
+    from yolov3_tpu.config import load_yaml  # ${VAR:-default} substitution
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cwd = os.getcwd()
+    os.chdir(repo)
+    try:
+        cfg = load_yaml("config/train_config_pets.yaml")
+
+        with tempfile.TemporaryDirectory() as tmp:
+            # synthetic stand-in for the converted COCO checkpoint (no real
+            # yolov3.weights exists in this zero-egress env — BASELINE.md)
+            spec80 = parse_model_config(cfg["model_config_file"], nclasses=80)
+            p80, s80 = init_model(jax.random.PRNGKey(7), spec80)
+            src_ckpt = os.path.join(tmp, "coco80.tf")
+            save_weights(spec80, p80, s80, src_ckpt)
+            cfg["transfer_learning_config"]["input_weights_path"] = src_ckpt
+
+            cfg["image_size"] = 224
+            cfg["batch_size"] = 4
+            cfg["epochs"] = 1
+            cfg["max_dataset_examples"] = 8
+            cfg["early_stopping"] = False
+            cfg["output_checkpoints_path"] = os.path.join(tmp, "pets.tf")
+            Train()(**cfg)
+
+            nclasses = sum(1 for _ in open(cfg["classes_name_file"]))
+            spec = parse_model_config(cfg["model_config_file"], nclasses)
+            init_p, init_s = init_model(jax.random.PRNGKey(0), spec)
+            out_p, _ = load_weights(spec, init_p, init_s, cfg["output_checkpoints_path"])
+
+            # backbone: transferred from the COCO checkpoint AND frozen —
+            # must be bit-equal to the source (classes don't touch it)
+            for a, b in zip(jax.tree.leaves(p80["backbone"]),
+                            jax.tree.leaves(out_p["backbone"])):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+            # heads (fresh init for 37 classes) must have trained
+            head_sm = [sm.name for sm in spec.sub_models if "head" in sm.name][0]
+            moved = any(
+                not np.array_equal(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree.leaves(init_p[head_sm]),
+                                jax.tree.leaves(out_p[head_sm]))
+            )
+            assert moved, "head params did not change"
+    finally:
+        os.chdir(cwd)
+
+
 def test_reference_compact_config_parses():
     from yolov3_tpu.models.compact_spec import parse_compact_model_config
 
