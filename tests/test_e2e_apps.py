@@ -48,6 +48,55 @@ def test_train_then_inference(workdir, trained_checkpoint):
     assert os.path.exists(f"{workdir}/detect_out/detect_0.jpg")
 
 
+def test_inference_int8_chain_app(workdir, trained_checkpoint):
+    """The int8_chain serving tier through the Inference APP (config key →
+    calibration collection → QAct predictor) — regression for the gate that
+    only collected calibration batches for plain int8."""
+    from yolov3_tpu.apps.inference_app import Inference
+
+    cfg = yaml.safe_load(open("config/detect_config.yaml"))
+    cfg["image_size"] = 96
+    cfg["input_weights_path"] = trained_checkpoint
+    cfg["output_dir"] = f"{workdir}/detect_out_chain"
+    cfg["quantize"] = "int8_chain"
+    Inference()(**cfg)
+    lines = open(f"{workdir}/detect_out_chain/detect.txt").readlines()
+    assert len(lines) == 8
+
+
+def test_evaluate_partial_tail_batch(workdir, trained_checkpoint):
+    """A tail batch shorter than batch_size: padding images must be dropped
+    by COUNT — the gt histogram equals the gt count of exactly the real
+    images (a padding image that draws a spurious detection must not count)."""
+    from yolov3_tpu.apps.evaluate_app import evaluate
+    from yolov3_tpu.data.tfrecord import parse_tfrecords
+
+    detect_cfg = yaml.safe_load(open("config/detect_config.yaml"))
+    detect_cfg["image_size"] = 96
+    detect_cfg["input_weights_path"] = os.path.abspath(trained_checkpoint)
+    for key in ("model_config_file", "tfrecords_dir", "classes_name_file", "anchors_file"):
+        detect_cfg[key] = os.path.abspath(detect_cfg[key])
+
+    n_real = 6  # batch_size is 8 → one padded tail batch
+    expected_gts = 0
+    for i, (_, lab) in enumerate(parse_tfrecords(
+            detect_cfg["tfrecords_dir"], 96, detect_cfg["yolo_max_boxes"],
+            detect_cfg["classes_name_file"])):
+        if i >= n_real:
+            break
+        expected_gts += int((lab[:, 4] != 0).sum())
+
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        evaluate({"evaluate_nms_score_thresholds": [0.004]}, detect_cfg,
+                 max_eval_images=n_real)
+        got = int(np.load("gts_0.004.npy").sum())
+    finally:
+        os.chdir(cwd)
+    assert got == expected_gts, f"gt count {got} != expected {expected_gts}"
+
+
 def test_train_then_evaluate(workdir, trained_checkpoint):
     from yolov3_tpu.apps.evaluate_app import evaluate
 

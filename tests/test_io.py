@@ -30,6 +30,36 @@ def test_npz_checkpoint_roundtrip(tmp_path, tiny_spec):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_npz_partial_load_expect_partial_semantics(tmp_path, tiny_spec):
+    """Native .npz sub-tree checkpoints load partially through
+    resolve.load_weights (Keras expect_partial parity — same contract as
+    the TF-format reader): present leaves restore, missing leaves keep
+    their template values, and a disjoint checkpoint still raises."""
+    params, state = init_model(jax.random.PRNGKey(1), tiny_spec)
+    bb = tiny_spec.sub_models[0].name
+    path = str(tmp_path / "backbone_only.npz")
+    save_checkpoint(path, {"params": {bb: params[bb]},
+                           "bn_state": {bb: state.get(bb, {})}})
+
+    tmpl_p, tmpl_s = init_model(jax.random.PRNGKey(9), tiny_spec)
+    out_p, out_s = load_weights(tiny_spec, tmpl_p, tmpl_s, path)
+    for a, b in zip(jax.tree.leaves(out_p[bb]), jax.tree.leaves(params[bb])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    other = tiny_spec.sub_models[-1].name
+    for a, b in zip(jax.tree.leaves(out_p[other]), jax.tree.leaves(tmpl_p[other])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # a checkpoint sharing no keys with the template must still fail loudly
+    bogus = str(tmp_path / "bogus.npz")
+    save_checkpoint(bogus, {"unrelated": {"x": np.zeros(3, np.float32)}})
+    with pytest.raises(ValueError, match="matched no"):
+        load_weights(tiny_spec, tmpl_p, tmpl_s, bogus)
+
+    # strict mode (resume path) still rejects missing keys
+    with pytest.raises(ValueError, match="missing keys"):
+        load_checkpoint(path, like={"params": tmpl_p, "bn_state": tmpl_s})
+
+
 def test_darknet_roundtrip(tmp_path, tiny_spec):
     params, state = init_model(jax.random.PRNGKey(5), tiny_spec)
     # perturb BN state so the roundtrip is non-trivial

@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import get_anchors, read_class_names
-from ..data.image import letterbox_resize
 from ..data.tfrecord import parse_tfrecords
 from ..eval.detections_evaluator import APAccumulator, EvaluateDetections
 from ..io.resolve import load_weights
@@ -107,17 +106,21 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
     predict = make_sweepable_predictor(spec, params, bn_state, anchors_table,
                                        nclasses, yolo_max_boxes, mesh=mesh)
 
-    # dataset: tfrecords, letterboxed, gt kept padded + masked (fixed shapes)
+    # dataset: tfrecords, gt kept padded + masked (fixed shapes). The
+    # reference letterboxes here (inference.py:119-123) — but its tfrecord
+    # parser has already squash-resized to a square (load_tfrecords.py:44),
+    # making the letterbox the identity; ours decodes square too, so the
+    # geometry is reference-exact without a redundant resample.
     def batches():
         images, labels = [], []
         count = 0
         for img, lab in parse_tfrecords(detect_config["tfrecords_dir"], image_size,
                                         yolo_max_boxes, detect_config["classes_name_file"]):
-            images.append(letterbox_resize(img, image_size, image_size))
+            images.append(img)
             labels.append(lab)
             count += 1
             if len(images) == batch_size:
-                yield np.stack(images), np.stack(labels)
+                yield np.stack(images), np.stack(labels), batch_size
                 images, labels = [], []
             if max_eval_images and count >= max_eval_images:
                 break
@@ -126,6 +129,7 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
             yield (
                 np.stack(images + [np.zeros_like(images[0])] * pad),
                 np.stack(labels + [np.zeros_like(labels[0])] * pad),
+                len(images),
             )
 
     results = []
@@ -140,12 +144,14 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
         elif compute_map:
             ap_acc = APAccumulator(nclasses, evaluate_iou_threshold)
 
-        for images, labels in batches():
-            # exact-K policy: start at the default K and escalate (doubling,
-            # recompiling at most log2(N/K) times per process) whenever the
-            # top-K truncation could have diverged from TF's full NMS — makes
-            # the low-threshold sweep entries (0.004) exact, not approximate.
-            k = DEFAULT_NUM_CANDIDATES
+        # exact-K policy: start at the default K and escalate whenever the
+        # top-K truncation could have diverged from TF's full NMS — makes
+        # the low-threshold sweep entries (0.004) exact, not approximate.
+        # K is sticky across batches within a threshold (escalation is
+        # monotone in practice: a threshold that trips it on one batch trips
+        # it on nearly all), so later batches skip the discarded low-K pass.
+        k = DEFAULT_NUM_CANDIDATES
+        for images, labels, n_real in batches():
             out = predict(jnp.asarray(images), jnp.float32(nms_iou_threshold),
                           jnp.float32(score_threshold), num_candidates=k)
             n_cand = out[2].shape[1]
@@ -164,8 +170,11 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
             gt_boxes = labels[..., 0:4]
             gt_classes = labels[..., 5].astype(np.int32)
             gt_valid = labels[..., 4] != 0
-            # drop all-padding tail images (empty gt ⇒ not a real image here)
-            real = gt_valid.any(axis=1) | pv.any(axis=1)
+            # drop the zero-padded tail images by COUNT (inferring realness
+            # from gt/preds would count a padding image as real whenever the
+            # net hallucinates a detection on a blank input — inflating FPs
+            # at low sweep thresholds)
+            real = np.arange(len(images)) < n_real
             evaluator.evaluate_batch(pb[real], pc[real], pv[real],
                                      gt_boxes[real], gt_classes[real], gt_valid[real])
             evaluator_oneclass.evaluate_batch(

@@ -6,9 +6,11 @@ image_size). Outputs: annotated detect_<i>.jpg images + a detect.txt line
 per image (reference inference.py:38-50), same tuple format.
 
 Parity notes:
-  * tfrecords mode letterboxes (inference.py:119-123); image_file /
-    images_dir mode uses plain square resize (:148-158) — the reference's
-    inconsistency is preserved deliberately.
+  * tfrecords mode matches reference inference.py:119-123 — whose
+    letterbox is the identity because parse_tfrecords squash-resizes to a
+    square first (load_tfrecords.py:44); image_file / images_dir mode uses
+    plain square resize (:148-158). The reference's geometry on each path
+    is preserved exactly.
   * detect_<i>.jpg uses a global image counter (the reference resets the
     index per batch, silently overwriting files — SURVEY §2 quirk; fixed).
   * save_model_path exports a native .npz weights bundle instead of a TF
@@ -23,8 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import get_anchors, dir_filelist
-from ..data.image import decode_image, letterbox_resize, resize_bilinear
+from ..config import get_anchors, dir_filelist, read_class_names
+from ..data.image import decode_image, resize_bilinear
 from ..data.tfrecord import parse_tfrecords
 from ..models import parse_model_config, init_model, apply_model, fold_batch_norm
 from ..io.resolve import load_weights, save_weights
@@ -141,7 +143,7 @@ class Inference:
         outfile = open(detect_txt, "a")
 
         anchors_table = get_anchors(anchors_file)
-        class_names = [c.strip() for c in open(classes_name_file).readlines()]
+        class_names = read_class_names(classes_name_file)
         nclasses = len(class_names)
 
         spec = parse_model_config(model_config_file, nclasses)
@@ -160,12 +162,14 @@ class Inference:
             save_weights(spec, params, bn_state, os.path.join(save_model_path, "model"))
 
         calibration_batches = None
-        if quantize == "int8":
+        if quantize in ("int8", "int8_chain"):
             # calibrate on up to 8 images from the configured input source
             calib_images = []
             if input_data_source == "tfrecords":
+                # parse_tfrecords yields square image_size images already —
+                # the reference's letterbox on top is the identity there
                 for img, _ in parse_tfrecords(tfrecords_dir, image_size, yolo_max_boxes, None):
-                    calib_images.append(letterbox_resize(img, image_size, image_size))
+                    calib_images.append(img)
                     if len(calib_images) >= 8:
                         break
             else:
@@ -200,11 +204,13 @@ class Inference:
         image_counter = 0
         results = []
 
-        def process(batch_images, raw_sizes=None):
+        def process(batch_images, raw_sizes=None, n_real=None):
+            """Run one compiled batch; render/write the first ``n_real``
+            images (tail batches arrive zero-padded to the compiled size)."""
             nonlocal image_counter
             out = predict(jnp.asarray(batch_images))
             bboxes, class_idx, scores, selected, num_valid = map(np.asarray, out)
-            for i in range(len(batch_images)):
+            for i in range(len(batch_images) if n_real is None else n_real):
                 bb, cc, ss = gather_valid_detections(
                     bboxes[i], class_idx[i], scores[i], selected[i], num_valid[i]
                 )
@@ -221,30 +227,19 @@ class Inference:
                 results.append((names, bb, ss))
 
         if input_data_source == "tfrecords":
+            # parse_tfrecords yields square image_size images — the
+            # reference's letterbox on top (inference.py:119-123) is the
+            # identity there (its parser squash-resized first too)
             batch = []
             for img, _ in parse_tfrecords(tfrecords_dir, image_size, yolo_max_boxes, None):
-                batch.append(letterbox_resize(img, image_size, image_size))
+                batch.append(img)
                 if len(batch) == batch_size:
                     process(np.stack(batch))
                     batch = []
             if batch:  # pad the tail to the compiled batch size, slice after
                 pad = batch_size - len(batch)
                 padded = np.stack(batch + [np.zeros_like(batch[0])] * pad)
-                out = predict(jnp.asarray(padded))
-                bboxes, class_idx, scores, selected, num_valid = map(np.asarray, out)
-                for i in range(len(batch)):
-                    bb, cc, ss = gather_valid_detections(
-                        bboxes[i], class_idx[i], scores[i], selected[i], num_valid[i]
-                    )
-                    names = [class_names[int(c)] for c in cc]
-                    annotated, detections = render_text_annotated_bboxes(
-                        batch[i], bb, names, ss, bbox_color, font_size
-                    )
-                    outfile.write(f"{detections}\n")
-                    outfile.flush()
-                    annotated.save(f"{output_dir}/detect_{image_counter}.jpg")
-                    image_counter += 1
-                    results.append((names, bb, ss))
+                process(padded, n_real=len(batch))
         else:
             if input_data_source == "image_file":
                 filenames = [image_file_path]

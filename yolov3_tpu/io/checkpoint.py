@@ -56,10 +56,16 @@ def save_checkpoint(path: str, tree, step: int | None = None):
             os.unlink(tmp)
 
 
-def load_checkpoint(path: str, like=None):
+def load_checkpoint(path: str, like=None, partial: bool = False):
     """Load a native checkpoint. With ``like`` (a template pytree), leaves are
     restored into the template's structure; otherwise a nested dict is built
-    from the '/'-joined keys."""
+    from the '/'-joined keys.
+
+    ``partial``: leaves missing from the checkpoint keep their template
+    values instead of raising — Keras ``expect_partial`` semantics, used by
+    ``resolve.load_weights`` so native and TF-format checkpoints behave the
+    same for sub-model/transfer loads. The strict default protects resume
+    paths from silently dropping optimizer state."""
     with np.load(path, allow_pickle=False) as z:
         flat = {k: z[k] for k in z.files if k != _MANIFEST_KEY}
         step = None
@@ -69,8 +75,10 @@ def load_checkpoint(path: str, like=None):
     if like is not None:
         like_flat = _flatten(like)
         missing = set(like_flat) - set(flat)
-        if missing:
+        if missing and not partial:
             raise ValueError(f"checkpoint {path} missing keys: {sorted(missing)[:5]}…")
+        if missing and not (set(like_flat) & set(flat)):
+            raise ValueError(f"checkpoint {path} matched no template keys")
         return _unflatten_like(like, flat), step
     return _nest(flat), step
 
@@ -83,7 +91,9 @@ def _unflatten_like(like, flat, prefix=""):
         if hasattr(like, "_fields"):  # namedtuple (e.g. optax states)
             return type(like)(*seq)
         return tuple(seq) if isinstance(like, tuple) else seq
-    arr = flat[prefix[:-1]]
+    arr = flat.get(prefix[:-1])
+    if arr is None:  # partial load: keep the template's value
+        return like
     return jnp.asarray(arr, dtype=jnp.asarray(like).dtype)
 
 
@@ -133,7 +143,14 @@ def _weighted_layer_paths(spec):
     {kernel, bias, gamma, beta, moving_mean, moving_variance}.
     """
     entries = []
-    for sm_idx, sm in enumerate(spec.sub_models):
+    sm_widx = 0  # Keras numbers only sub-models that HOLD weights — a
+    # conv-free sub-model (route/upsample-only) is skipped in its
+    # layer_with_weights numbering, so track the weighted index separately
+    for sm in spec.sub_models:
+        if not any(l.kind == "convolutional" for l in sm.layers):
+            continue
+        sm_idx = sm_widx
+        sm_widx += 1
         wl = 0  # layer_with_weights index within the sub-model
         for i, layer in enumerate(sm.layers):
             if layer.kind != "convolutional":

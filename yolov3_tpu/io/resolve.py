@@ -30,7 +30,9 @@ def load_weights(spec, params, state, path: str):
     (expect_partial — reference inference.py:102). Returns (params, state)."""
     for candidate in (path, native_path(path)):
         if os.path.exists(candidate) and candidate.endswith(".npz"):
-            tree, _ = load_checkpoint(candidate, like={"params": params, "bn_state": state})
+            tree, _ = load_checkpoint(candidate,
+                                      like={"params": params, "bn_state": state},
+                                      partial=True)
             return tree["params"], tree["bn_state"]
     if os.path.exists(path + ".index"):
         params, state, loaded = load_tf_keras_checkpoint(spec, params, state, path)
