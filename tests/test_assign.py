@@ -41,6 +41,21 @@ def test_roundtrip_scatter_extract():
     np.testing.assert_allclose(extracted[key(extracted)], original[key(original)], rtol=1e-6)
 
 
+def test_duplicate_slot_last_box_wins_deterministically():
+    """Two boxes with the same center cell and best anchor: the LAST label
+    row must occupy the slot — deterministic, unlike a raw duplicate-index
+    scatter (and matching TF's documented last-update-wins)."""
+    labels = np.zeros((1, 4, 6), np.float32)
+    # identical geometry ⇒ same cell, same best anchor; different class ids
+    for slot, cls in ((0, 2.0), (1, 5.0)):
+        labels[0, slot] = [0.4, 0.4, 0.5, 0.5, 1.0, cls]
+    grids = assign_targets(jnp.asarray(labels), ANCHORS, GRIDS)
+    rows = np.concatenate([np.asarray(c).reshape(-1, 6) for c in grids])
+    occupied = rows[rows[:, 4] == 1]
+    assert occupied.shape[0] == 1  # one slot, one winner
+    assert occupied[0, 5] == 5.0, "later label row must win the slot"
+
+
 def test_scale_ownership_matches_best_anchor():
     rng = np.random.RandomState(1)
     labels = random_labels(rng, b=2)

@@ -106,8 +106,7 @@ def test_round_sweep_matches_matrix_sweep():
         sup = jax.vmap(M._pairwise_iou)(cand_boxes) > iou_thr
         keep_m = jax.vmap(M._scan_sweep)(sup, valid)
         sel_m, nv_m = jax.vmap(
-            lambda o, kp, s: M._compact(o, kp, s, max_boxes))(
-            order, keep_m, cand_scores)
+            lambda o, kp: M._compact(o, kp, max_boxes))(order, keep_m)
         # the large-K production composition: direct round sweep over the
         # sorted candidates, positions mapped back through `order`
         sel_pos, nv_r = jax.vmap(

@@ -20,8 +20,14 @@ from .pipeline import Dataset
 
 
 def _labels_for_image(image_entry, anns, cat_map, max_bboxes):
+    if len(anns) > max_bboxes:
+        # fail loudly like the tfrecord path (tfrecord.py) — silently
+        # dropping gt boxes would inflate recall/mAP with no trace
+        raise ValueError(
+            f"image {image_entry.get('file_name', image_entry.get('id'))} has "
+            f"{len(anns)} annotations > max_bboxes={max_bboxes}; raise max_bboxes")
     labels = np.zeros((max_bboxes, 6), np.float32)
-    n = min(len(anns), max_bboxes)
+    n = len(anns)
     if n:
         iw, ih = float(image_entry["width"]), float(image_entry["height"])
         for row, annot in enumerate(anns[:n]):

@@ -101,22 +101,40 @@ def decode_resize_jpeg(data: bytes, out_h: int, out_w: int, scale: float = 1.0 /
     return None
 
 
-def scan_tfrecord(buf: bytes, validate: bool = True, max_records: int = 1 << 20):
-    """TFRecord byte buffer → list of (offset, length); None if unavailable."""
+def scan_tfrecord(buf: bytes, validate: bool = True, chunk_records: int = 1 << 20):
+    """TFRecord byte buffer → list of (offset, length); None if unavailable.
+
+    The native scanner fills at most ``chunk_records`` spans per call — loop
+    until the buffer is exhausted so huge shards are never silently
+    truncated. Buffers are sized by the 16-byte/record floor (8 len +
+    4+4 CRCs), not the chunk cap, so small files don't allocate 16 MB.
+    """
     lib = _load()
     if lib is None:
         return None
-    offsets = np.empty(max_records, np.uint64)
-    lengths = np.empty(max_records, np.uint64)
-    count = lib.yolodata_scan_tfrecord(
-        buf, len(buf),
-        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
-        max_records, 1 if validate else 0,
-    )
-    if count < 0:
-        raise IOError(f"corrupt tfrecord buffer (native scan error {count})")
-    return [(int(offsets[i]), int(lengths[i])) for i in range(count)]
+    results = []
+    base = 0
+    view = buf
+    while len(view) > 0:
+        cap = min(chunk_records, max(1, len(view) // 16))
+        offsets = np.empty(cap, np.uint64)
+        lengths = np.empty(cap, np.uint64)
+        count = lib.yolodata_scan_tfrecord(
+            view, len(view),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            cap, 1 if validate else 0,
+        )
+        if count < 0:
+            raise IOError(f"corrupt tfrecord buffer (native scan error {count})")
+        results.extend(
+            (base + int(offsets[i]), int(lengths[i])) for i in range(count))
+        if count < cap:
+            break
+        consumed = int(offsets[count - 1]) + int(lengths[count - 1]) + 4
+        base += consumed
+        view = view[consumed:]
+    return results
 
 
 def crc32c(data: bytes):

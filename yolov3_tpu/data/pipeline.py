@@ -134,6 +134,19 @@ class DevicePrefetcher:
         q: queue.Queue = queue.Queue(maxsize=self.buffer_size)
         stop = object()
         err_box = []
+        abandoned = threading.Event()  # consumer stopped consuming
+
+        def _put(item) -> bool:
+            # bounded wait instead of a blocking put: if the consumer
+            # abandoned the iterator (exception/break mid-epoch) the worker
+            # must exit rather than pin device batches + a thread forever
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
@@ -144,18 +157,29 @@ class DevicePrefetcher:
                         batch = jax.device_put(batch, self.sharding)
                     else:
                         batch = jax.device_put(batch)
-                    q.put(batch)
+                    if not _put(batch):
+                        return
             except BaseException as e:  # propagate to consumer
                 err_box.append(e)
             finally:
-                q.put(stop)
+                _put(stop)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                if err_box:
-                    raise err_box[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    if err_box:
+                        raise err_box[0]
+                    return
+                yield item
+        finally:
+            # generator closed/abandoned: release the worker and drain the
+            # queue so device-resident batches are dropped promptly
+            abandoned.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass

@@ -32,27 +32,25 @@ _CRC_TABLE = None
 
 
 def _crc32c_table():
+    """256-entry CRC32C lookup table as a plain Python list (list indexing
+    beats np scalar indexing in the per-byte fallback loop)."""
     global _CRC_TABLE
     if _CRC_TABLE is None:
         poly = 0x82F63B78
-        table = np.zeros(256, np.uint32)
+        table = []
         for i in range(256):
             crc = i
             for _ in range(8):
                 crc = (crc >> 1) ^ (poly if crc & 1 else 0)
-            table[i] = crc
+            table.append(crc)
         _CRC_TABLE = table
     return _CRC_TABLE
 
 
 def crc32c(data: bytes) -> int:
-    table = _crc32c_table()
-    crc = np.uint32(0xFFFFFFFF)
-    buf = np.frombuffer(data, np.uint8)
-    # vectorized-ish byte loop; fine for 8/12-byte headers, ok for payloads
+    tab = _crc32c_table()
     crc_val = 0xFFFFFFFF
-    tab = table.tolist()
-    for b in buf.tolist():
+    for b in data:
         crc_val = tab[(crc_val ^ b) & 0xFF] ^ (crc_val >> 8)
     return crc_val ^ 0xFFFFFFFF
 

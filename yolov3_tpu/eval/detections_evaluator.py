@@ -33,7 +33,11 @@ import numpy as np
 
 
 def _pairwise_iou(a, b):
-    """a: (P,4), b: (G,4) xyxy → (P,G)."""
+    """a: (P,4), b: (G,4) xyxy → (P,G).
+
+    Deliberately NOT shared with ops/nms.py's IoU: this one pins the
+    reference evaluator's math (evaluate_detections.py:38-48 — no
+    negative-extent clamping on areas), which the parity tests depend on."""
     lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
     rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
     wh = jnp.maximum(rb - lt, 0.0)

@@ -19,7 +19,10 @@ Semantics parity:
     masking → no dynamic shapes).
 
 Divergence (documented): cell indices are clipped to [0, grid-1]; a box
-center at exactly 1.0 would make the reference's scatter fail.
+center at exactly 1.0 would make the reference's scatter fail. When two
+boxes map to the same (cell, anchor) slot the LAST label row wins,
+deterministically (the reference's tensor_scatter_nd_update leaves
+duplicate-index order unspecified).
 """
 
 from __future__ import annotations
@@ -77,7 +80,16 @@ def assign_targets(labels, anchors_table, grid_sizes):
         dump = b * g * g * 3  # one-past-the-end dump slot for masked boxes
         flat_idx = jnp.where(valid, flat_idx, dump)
 
-        cube = jnp.zeros((b * g * g * 3 + 1, f), jnp.float32)
-        cube = cube.at[flat_idx.reshape(-1)].set(labels.reshape(-1, f))
-        grids.append(cube[:-1].reshape(b, g, g, 3, f))
+        # Deterministic duplicate resolution: when two boxes land on the
+        # same (cell, anchor) slot, a direct .at[].set scatter would leave
+        # XLA free to pick either (nondeterministic across runs/backends).
+        # Scatter-max of the box ORDER instead (max is order-independent),
+        # then gather the winning row — the highest label index wins, i.e.
+        # TF's documented tensor_scatter_nd_update "last update wins".
+        flat = flat_idx.reshape(-1)
+        winner = jnp.full((b * g * g * 3 + 1,), -1, jnp.int32).at[flat].max(
+            jnp.arange(b * m, dtype=jnp.int32))
+        rows = jnp.where(winner[:, None] >= 0,
+                         labels.reshape(-1, f)[jnp.maximum(winner, 0)], 0.0)
+        grids.append(rows[:-1].reshape(b, g, g, 3, f))
     return tuple(grids)

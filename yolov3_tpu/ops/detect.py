@@ -81,7 +81,7 @@ def detect(outputs, anchors_table, nclasses: int, max_boxes: int = 100,
         valid = cand_scores > score_threshold
         suppress = _pairwise_iou(boxes) > iou_threshold
         keep = _scan_sweep(suppress, valid)
-        sel_local, nvalid = _compact(jnp.arange(k), keep, cand_scores, max_boxes)
+        sel_local, nvalid = _compact(jnp.arange(k), keep, max_boxes)
         det_boxes = boxes[sel_local]
         det_scores = cand_scores[sel_local]
         det_classes = cls[order][sel_local]

@@ -119,7 +119,7 @@ def _round_sweep_direct(boxes, scores, valid, iou_thr, max_boxes: int):
     return sel, nv
 
 
-def _compact(order, keep, scores_sorted, max_boxes: int):
+def _compact(order, keep, max_boxes: int):
     """Kept candidates (already score-ordered) → padded selected indices."""
     rank = jnp.cumsum(keep) - 1
     num_valid = jnp.minimum(jnp.sum(keep), max_boxes).astype(jnp.int32)
@@ -180,7 +180,9 @@ def yolo_nms(
         # scan better (93.6 vs 98.3 ms/batch128). Default scan; opt in for
         # NMS-dominated workloads.
         use_pallas = False
-    use_pallas = use_pallas and k % 128 == 0 and jax.default_backend() != "cpu"
+    # Mosaic-TPU kernel: fall back to the scan anywhere else (incl. GPU) —
+    # the documented "silently falls back" contract
+    use_pallas = use_pallas and k % 128 == 0 and jax.default_backend() == "tpu"
 
     iou_thr = jnp.float32(iou_threshold)
     score_thr = jnp.float32(score_threshold)
@@ -237,9 +239,7 @@ def yolo_nms(
     else:
         keep = jax.vmap(_scan_sweep)(suppress_mat, valid)
 
-    sel, nvalid = jax.vmap(lambda o, kp, s: _compact(o, kp, s, max_boxes))(
-        order, keep, cand_scores
-    )
+    sel, nvalid = jax.vmap(lambda o, kp: _compact(o, kp, max_boxes))(order, keep)
     return bboxes, class_indices, scores, sel, nvalid
 
 
