@@ -30,7 +30,6 @@ def run_gate(max_images=32, image_size=416, score_threshold=0.1):
     from yolov3_tpu.apps.inference_app import make_predictor
     from yolov3_tpu.config import get_anchors
     from yolov3_tpu.data.tfrecord import parse_tfrecords
-    from yolov3_tpu.data.image import letterbox_resize
     from yolov3_tpu.eval.detections_evaluator import APAccumulator
     from yolov3_tpu.io.resolve import load_weights
     from yolov3_tpu.models import parse_model_config, init_model
@@ -47,8 +46,9 @@ def run_gate(max_images=32, image_size=416, score_threshold=0.1):
         examples.append((np.asarray(im), np.asarray(lb)))
         if len(examples) >= max_images:
             break
-    images = np.stack([letterbox_resize(im, image_size, image_size)
-                       for im, _ in examples]).astype(np.float32)
+    # parse_tfrecords already yields square image_size images (stretch
+    # resize — the geometry the labels' normalized coords live in)
+    images = np.stack([im for im, _ in examples]).astype(np.float32)
     labels = [lb for _, lb in examples]
 
     calib = [images[:4]]
@@ -77,18 +77,14 @@ def run_gate(max_images=32, image_size=416, score_threshold=0.1):
     m_bf16 = preds["bf16"]["map50"]
     m_int8 = preds["int8"]["map50"]
 
-    import numpy as np
+    from yolov3_tpu.eval.detections_evaluator import _np_iou_one
+
     score_deltas, ious = [], []
     for (db, dc, ds), (qb, qc, qs) in zip(preds["bf16"]["dets"], preds["int8"]["dets"]):
         for j in range(len(db)):
             if len(qb) == 0:
                 continue
-            inter_w = np.maximum(0, np.minimum(db[j, 2], qb[:, 2]) - np.maximum(db[j, 0], qb[:, 0]))
-            inter_h = np.maximum(0, np.minimum(db[j, 3], qb[:, 3]) - np.maximum(db[j, 1], qb[:, 1]))
-            inter = inter_w * inter_h
-            area_a = (db[j, 2] - db[j, 0]) * (db[j, 3] - db[j, 1])
-            area_b = (qb[:, 2] - qb[:, 0]) * (qb[:, 3] - qb[:, 1])
-            iou = inter / np.maximum(area_a + area_b - inter, 1e-9)
+            iou = _np_iou_one(db[j], qb)
             k = int(np.argmax(iou))
             if iou[k] > 0.5:
                 ious.append(float(iou[k]))

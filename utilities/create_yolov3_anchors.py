@@ -26,7 +26,9 @@ def collect_wh_tfrecords(tfrecords_dir, limit=None):
             xmax = np.asarray(ex.get("image/object/bbox/xmax", []), np.float32)
             ymax = np.asarray(ex.get("image/object/bbox/ymax", []), np.float32)
             w, h = xmax - xmin, ymax - ymin
-            keep = (w != 0) | (h != 0)
+            # a zero-extent box in EITHER dimension is degenerate — it would
+            # seed a ~zero anchor and NaN the wh-IoU assignment at train time
+            keep = (w > 0) & (h > 0)
             wh.append(np.stack([w[keep], h[keep]], axis=-1))
             count += 1
             if limit and count >= limit:
@@ -44,7 +46,7 @@ def collect_wh_data_files(annotations_path, limit=None):
     for annot in annotations["annotations"][: limit or None]:
         iw, ih = sizes[annot["image_id"]]
         _, _, w, h = annot["bbox"]
-        if w or h:
+        if w > 0 and h > 0:
             wh.append([w / iw, h / ih])
     return np.asarray(wh, np.float32)
 
@@ -56,8 +58,14 @@ def kmeans(points, k, iters=300, seed=0):
     centers = points[rng.randint(n)][None]
     for _ in range(1, k):
         d2 = ((points[:, None] - centers[None]) ** 2).sum(-1).min(-1)
-        probs = d2 / max(d2.sum(), 1e-12)
-        centers = np.concatenate([centers, points[rng.choice(n, p=probs)][None]])
+        total = d2.sum()
+        if total <= 0:
+            # fewer distinct points than clusters: every point is already a
+            # center — fall back to uniform picks instead of a zero-prob
+            # np.random.choice crash; Lloyd iterations dedupe harmlessly
+            centers = np.concatenate([centers, points[rng.randint(n)][None]])
+            continue
+        centers = np.concatenate([centers, points[rng.choice(n, p=d2 / total)][None]])
     for _ in range(iters):
         assign = ((points[:, None] - centers[None]) ** 2).sum(-1).argmin(-1)
         new = np.stack(

@@ -9,9 +9,12 @@ Semantics match the reference's Keras layer stack (core/parse_model.py:13-213):
   * upsample: nearest-neighbor ×stride (Keras UpSampling2D default).
   * maxpool: Keras MaxPooling2D with configured size/stride/padding.
 
-All convolutions go through ``lax.conv_general_dilated`` with
-``preferred_element_type=float32`` so bf16 activations/weights still
-accumulate in fp32 on the MXU.
+Convolutions go through ``lax.conv_general_dilated``. fp32 inputs pin
+``preferred_element_type=float32``; bf16 inputs keep bf16 *outputs* (the
+TPU MXU accumulates fp32 internally either way — materializing fp32
+outputs would double activation HBM traffic for nothing; on CPU/GPU test
+backends bf16 convs may accumulate at lower precision, which the parity
+tests' tolerances absorb).
 """
 
 from __future__ import annotations
@@ -112,9 +115,11 @@ _PALLAS_1X1 = False  # "auto" (TPU only) | True | False — see set_pallas_conv1
 def set_pallas_conv1x1(mode):
     """Route eligible int8 1×1 convs through the fused Pallas kernel.
 
-    "auto" (default): on when the default backend is TPU — the kernel's
-    win is the HBM accumulator round-trip, a TPU-emitter property; CPU/GPU
-    keep the XLA path (and interpret-mode Pallas would be slow).
+    Default is OFF (module-level ``_PALLAS_1X1 = False``): the kernel wins
+    standalone but loses in-model to XLA's conv emitter at every measured
+    call site (layout copies at the custom-call boundary — PERF.md).
+    ``"auto"`` enables it when the default backend is TPU; ``True`` forces
+    it; env ``YOLOV3_PALLAS_1X1`` overrides all of these.
     """
     global _PALLAS_1X1
     _PALLAS_1X1 = mode

@@ -79,7 +79,9 @@ def _apply_sub_model(
     # the running 'x' starts as the (single) input, like Keras chaining
     x = inputs_entry if not isinstance(inputs_entry, (list, tuple)) else inputs_entry[0]
     if fp_dtype is None:
-        fp_dtype = x.q.dtype if isinstance(x, L.QAct) else x.dtype
+        # a QAct input's fp identity is its scale's dtype (f32) — x.q.dtype
+        # is int8, which would truncate every dequantized activation
+        fp_dtype = x.scale.dtype if isinstance(x, L.QAct) else x.dtype
     layer_outs = []
     new_state = {}
     for i, layer in enumerate(sm.layers):

@@ -104,8 +104,13 @@ def _parse_layer(layer_conf: dict, nclasses: int) -> LayerSpec:
         conf["filters"] = int(filters)
         conf["size"] = int(conf["size"])
         conf["stride"] = int(conf["stride"])
-        conf["batch_normalize"] = bool(conf.get("batch_normalize", False)) or (
-            "batch_normalize" in layer_conf
+        # presence with no value (YAML `batch_normalize:`) means enabled —
+        # the reference configs write `batch_normalize: 1`; an explicit
+        # 0/false must be honored, not overridden by key presence
+        bn_value = layer_conf.get("batch_normalize")
+        conf["batch_normalize"] = (
+            True if ("batch_normalize" in layer_conf and bn_value is None)
+            else bool(bn_value)
         )
         activation = conf.get("activation", "linear")
         if activation not in ("linear", "leaky"):
@@ -132,10 +137,14 @@ def _parse_sub_model(sub_conf: dict, nclasses: int, config_dir: str) -> SubModel
     if "layers_config_file" in sub_conf:
         path = sub_conf["layers_config_file"]
         if not os.path.isabs(path) and not os.path.exists(path):
-            # allow paths relative to the model.yaml location as a fallback
-            candidate = os.path.join(config_dir, os.path.basename(path))
-            if os.path.exists(candidate):
-                path = candidate
+            # allow paths relative to the model.yaml location as a fallback:
+            # first the path as written (keeps subdirectories), then the
+            # bare basename (reference configs use repo-rooted paths)
+            for candidate in (os.path.join(config_dir, path),
+                              os.path.join(config_dir, os.path.basename(path))):
+                if os.path.exists(candidate):
+                    path = candidate
+                    break
         layers_conf = load_yaml(path)["layers_config"]
     else:
         layers_conf = sub_conf["layers_config"]
