@@ -28,7 +28,11 @@ export async function loadModel(modelUrl) {
 export function imagePreprocess(image) {
   return tf.tidy(() =>
     tf.browser.fromPixels(image)
-      .resizeBilinear([IMAGE_SIZE, IMAGE_SIZE])
+      // halfPixelCenters=true: tf.image.resize v2 sampling — what the
+      // Python pipeline (data/image.py) and the native decoder use; the
+      // TFJS default (false) is TF1 sampling, a ~0.5px offset that would
+      // shift boxes vs the same image through the Python path
+      .resizeBilinear([IMAGE_SIZE, IMAGE_SIZE], false, true)
       .toFloat()
       .div(255)
       .expandDims(0));
@@ -40,21 +44,30 @@ export async function runInference({ modelUrl, image, overlay, classNames,
                                      scoreThreshold = 0.1 }) {
   const model = await loadModel(modelUrl);
   const input = imagePreprocess(image);
-  let outputs = await model.executeAsync(input);
-  if (!Array.isArray(outputs)) outputs = [outputs];
-  // order by descending stride: fewest cells (13-grid) first
-  outputs.sort((a, b) => a.shape[1] - b.shape[1]);
+  let outputs = null;
+  let decoded = null;
+  try {
+    outputs = await model.executeAsync(input);
+    if (!Array.isArray(outputs)) outputs = [outputs];
+    // order by descending stride: fewest cells (13-grid) first
+    outputs.sort((a, b) => a.shape[1] - b.shape[1]);
 
-  const nClasses = classNames.length;
-  const decoded = decodeOutputs(outputs, anchors.slice(0, outputs.length), nClasses);
-  const { boxes, scores, classes } = await yoloNms(decoded, maxBoxes, iouThreshold, scoreThreshold);
+    const nClasses = classNames.length;
+    decoded = decodeOutputs(outputs, anchors.slice(0, outputs.length), nClasses);
+    const { boxes, scores, classes } = await yoloNms(decoded, maxBoxes, iouThreshold, scoreThreshold);
 
-  const detections = boxes.map((box, i) => ({
-    box,
-    score: scores[i],
-    className: classNames[classes[i]] ?? `class_${classes[i]}`,
-  }));
-  if (overlay) renderDetections(overlay, image, detections);
-  tf.dispose([input, ...outputs, decoded.boxes, decoded.confidence, decoded.classProbs]);
-  return detections;
+    const detections = boxes.map((box, i) => ({
+      box,
+      score: scores[i],
+      className: classNames[classes[i]] ?? `class_${classes[i]}`,
+    }));
+    if (overlay) renderDetections(overlay, image, detections);
+    return detections;
+  } finally {
+    // dispose even when decode/NMS throws (shape mismatch etc.) — a caught
+    // error + retry loop must not strand head tensors in GPU memory
+    const owned = [input, ...(outputs ?? [])];
+    if (decoded) owned.push(decoded.boxes, decoded.confidence, decoded.classProbs);
+    tf.dispose(owned);
+  }
 }

@@ -30,19 +30,22 @@ extern "C" {
 // crc32c (Castagnoli) — SSE4.2 hardware path with table fallback
 // ---------------------------------------------------------------------------
 
-static uint32_t crc_table[256];
-static bool crc_table_init_done = false;
-
-static void crc_table_init() {
-  if (crc_table_init_done) return;
-  const uint32_t poly = 0x82F63B78u;
-  for (uint32_t i = 0; i < 256; i++) {
-    uint32_t crc = i;
-    for (int k = 0; k < 8; k++) crc = (crc >> 1) ^ (poly & (0u - (crc & 1)));
-    crc_table[i] = crc;
+// Built by a static initializer: concurrent first calls from the Python
+// thread pool (parse_tfrecords) must not race a lazy check-then-write —
+// on weak-memory platforms (the very ones taking this non-SSE fallback) a
+// reader could see the done flag before the table writes.
+struct CrcTable {
+  uint32_t t[256];
+  CrcTable() {
+    const uint32_t poly = 0x82F63B78u;
+    for (uint32_t i = 0; i < 256; i++) {
+      uint32_t crc = i;
+      for (int k = 0; k < 8; k++) crc = (crc >> 1) ^ (poly & (0u - (crc & 1)));
+      t[i] = crc;
+    }
   }
-  crc_table_init_done = true;
-}
+};
+static const CrcTable crc_table;
 
 uint32_t yolodata_crc32c(const uint8_t* data, uint64_t n) {
   uint32_t crc = 0xFFFFFFFFu;
@@ -55,9 +58,8 @@ uint32_t yolodata_crc32c(const uint8_t* data, uint64_t n) {
   }
   for (; i < n; i++) crc = _mm_crc32_u8(crc, data[i]);
 #else
-  crc_table_init();
   for (uint64_t i = 0; i < n; i++)
-    crc = crc_table[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
+    crc = crc_table.t[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
 #endif
   return crc ^ 0xFFFFFFFFu;
 }
@@ -86,7 +88,10 @@ int64_t yolodata_scan_tfrecord(const uint8_t* buf, uint64_t size,
     uint32_t len_crc;
     memcpy(&len_crc, buf + pos + 8, 4);
     if (validate && yolodata_masked_crc(buf + pos, 8) != len_crc) return -2;
-    if (pos + 12 + len + 4 > size) return -1;
+    // overflow-safe form of pos + 12 + len + 4 > size: a corrupt 8-byte
+    // length near UINT64_MAX would wrap the sum below size and send the
+    // data-CRC memcpy through a wild pointer
+    if (size - pos < 16 || len > size - pos - 16) return -1;
     if (validate) {
       uint32_t data_crc;
       memcpy(&data_crc, buf + pos + 12 + len, 4);

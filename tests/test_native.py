@@ -39,6 +39,32 @@ def test_scan_rejects_corruption(tmp_path):
         native.scan_tfrecord(bytes(raw))
 
 
+def test_scan_rejects_overflowing_length(tmp_path):
+    """A corrupt 8-byte length near UINT64_MAX must be reported as
+    truncation (-1), not wrap the bounds check into a wild read."""
+    import struct
+
+    path = str(tmp_path / "huge.tfrec")
+    write_tfrecord(path, [encode_example({"a": [1.0]})])
+    raw = bytearray(open(path, "rb").read())
+    raw[0:8] = struct.pack("<Q", (1 << 64) - 20)  # pos+12+len+4 wraps
+    with pytest.raises(IOError):
+        native.scan_tfrecord(bytes(raw), validate=False)
+
+
+def test_scan_chunked_loop_covers_all_records(tmp_path):
+    """chunk_records smaller than the record count: the wrapper must loop
+    and return every span (regression for silent >cap truncation)."""
+    path = str(tmp_path / "many.tfrec")
+    records = [encode_example({"a": [float(i)]}) for i in range(10)]
+    write_tfrecord(path, records)
+    buf = open(path, "rb").read()
+    spans = native.scan_tfrecord(buf, chunk_records=3)
+    assert len(spans) == 10
+    for (off, ln), rec in zip(spans, records):
+        assert buf[off : off + ln] == rec
+
+
 def test_decode_resize_matches_python_path():
     from PIL import Image
 
