@@ -180,9 +180,14 @@ def yolo_nms(
         # scan better (93.6 vs 98.3 ms/batch128). Default scan; opt in for
         # NMS-dominated workloads.
         use_pallas = False
-    # Mosaic-TPU kernel: fall back to the scan anywhere else (incl. GPU) —
-    # the documented "silently falls back" contract
-    use_pallas = use_pallas and k % 128 == 0 and jax.default_backend() == "tpu"
+    # Mosaic-TPU kernel: fall back to the scan anywhere else (incl. GPU),
+    # and above the kernel's VMEM-feasible K — the documented "silently
+    # falls back" contract
+    if use_pallas:
+        from .pallas.nms_kernel import MAX_SWEEP_K
+
+        use_pallas = (k % 128 == 0 and k <= MAX_SWEEP_K
+                      and jax.default_backend() == "tpu")
 
     iou_thr = jnp.float32(iou_threshold)
     score_thr = jnp.float32(score_threshold)

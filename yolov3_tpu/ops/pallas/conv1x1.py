@@ -41,7 +41,7 @@ try:  # pragma: no cover - exercised implicitly on import
 except Exception:  # noqa: BLE001 - any import failure → XLA fallback
     _PALLAS_OK = False
 
-LEAKY_SLOPE = 0.1
+from .common import LEAKY_SLOPE, leaky as _leaky, requant_clip  # noqa: F401 (LEAKY_SLOPE re-export)
 
 # VMEM working-set budget per grid step (bytes). v5e has ~16 MiB/core;
 # leave room for double-buffered DMA of the x/out tiles.
@@ -56,20 +56,30 @@ def _kernel(x_ref, w_ref, scale_ref, bias_ref, inv_ref, out_ref, *, leaky: bool,
     )
     y = acc.astype(jnp.float32) * scale_ref[:] + bias_ref[:]
     if leaky:
-        y = jnp.where(y >= 0, y, y * jnp.float32(LEAKY_SLOPE))
+        y = _leaky(y)
     if requant:
-        q = jnp.clip(jnp.round(y * inv_ref[0, 0]), -127, 127)
-        out_ref[:] = q.astype(jnp.int8)
+        out_ref[:] = requant_clip(y, inv_ref[0, 0]).astype(jnp.int8)
     else:
         out_ref[:] = y.astype(out_ref.dtype)
 
 
 def _pick_tile_m(m: int, k: int, n: int) -> int:
-    """Largest power-of-two row tile fitting the VMEM budget (≥256)."""
-    tile = 256
+    """Largest power-of-two row tile fitting the VMEM budget (≥256).
+
+    Raises when even the minimum tile cannot fit alongside the resident
+    (k, n) weight block — a clear diagnostic instead of a Mosaic
+    allocation failure (unreachable at Darknet shapes, which cap at 1024
+    channels; guards generic callers)."""
     # per-row bytes: x k·1, acc n·4 (+f32 epilogue copy n·4), out n·1
     per_row = k + 9 * n
-    while tile * 2 * per_row <= _VMEM_BUDGET and tile * 2 <= max(256, m):
+    weight_block = k * n  # int8, resident across all grid steps
+    tile = 256
+    if weight_block + tile * per_row > _VMEM_BUDGET:
+        raise ValueError(
+            f"conv1x1 shapes (k={k}, n={n}) exceed the VMEM budget even at "
+            f"the minimum 256-row tile; use the XLA conv path")
+    while (weight_block + tile * 2 * per_row <= _VMEM_BUDGET
+           and tile * 2 <= max(256, m)):
         tile *= 2
     return tile
 
@@ -87,6 +97,10 @@ def conv1x1_int8_requant(xq, wq, scale, bias, inv_out_scale, *, leaky: bool,
     Returns (M, Cout) ``out_dtype``. M need not divide the tile: trailing
     blocks are padded on read and masked on write by Pallas.
     """
+    if not _PALLAS_OK:
+        raise RuntimeError(
+            "jax.experimental.pallas unavailable in this environment — "
+            "use the XLA conv path (models/layers.py::conv2d_int8)")
     if interpret is None:
         interpret = _INTERPRET
     m, k = xq.shape

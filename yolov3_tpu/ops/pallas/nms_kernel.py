@@ -11,7 +11,9 @@ Layout: K is padded to a multiple of 128 (lane width). Masks are kept as
 float32 {0,1} rows of shape (1, K) — the natural VPU tile — and the
 decision matrix is precomputed (outside) as float32 {0,1}.
 
-Falls back transparently to interpret mode off-TPU (tests run it on CPU).
+Off-TPU, pass ``interpret=True`` explicitly (the CPU tests do) — this
+module does no backend detection; the transparent scan fallback lives in
+the caller's gate (ops/nms.py::yolo_nms).
 """
 
 from __future__ import annotations
@@ -23,6 +25,12 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+# largest K whose (K,K) f32 decision block fits VMEM with double-buffering
+# headroom (K=1024 → 4 MiB/block vs ~16 MiB/core on v5e; K=2048 → 16 MiB
+# would already fail Mosaic allocation)
+MAX_SWEEP_K = 1024
 
 
 def _suppress_kernel(suppress_mat_ref, valid_ref, keep_ref, sup_scratch):
@@ -60,6 +68,11 @@ def pallas_suppression_sweep(suppress_mat, valid, interpret: bool = False):
     b, k, _ = suppress_mat.shape
     if k % 128 and not interpret:
         raise ValueError(f"K={k} must be a multiple of 128")
+    if k > MAX_SWEEP_K and not interpret:
+        # the (K,K) f32 block must fit VMEM (~16 MiB/core on v5e) with
+        # double-buffering headroom; callers gate on this constant to keep
+        # the documented silent-scan fallback
+        raise ValueError(f"K={k} exceeds the VMEM-feasible bound {MAX_SWEEP_K}")
     return pl.pallas_call(
         _suppress_kernel,
         grid=(b,),

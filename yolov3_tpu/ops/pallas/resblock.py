@@ -49,7 +49,7 @@ try:  # pragma: no cover
 except Exception:  # noqa: BLE001
     _PALLAS_OK = False
 
-LEAKY_SLOPE = 0.1
+from .common import leaky as _leaky, requant_clip
 
 
 def _round_up(x: int, m: int) -> int:
@@ -91,8 +91,7 @@ def _kernel(xp_ref, w1_ref, w2_ref, s1_ref, b1_ref, s2_ref, b2_ref,
     acc1 = lax.dot_general(xq, w1_ref[:], (((1,), (0,)), ((), ())),
                            preferred_element_type=jnp.int32)
     y1 = acc1.astype(jnp.float32) * s1_ref[0:1] + b1_ref[0:1]
-    y1 = jnp.where(y1 >= 0, y1, y1 * jnp.float32(LEAKY_SLOPE))
-    q1 = jnp.clip(jnp.round(y1 * sc_ref[0, 0]), -127, 127).astype(jnp.int8)
+    q1 = requant_clip(_leaky(y1), sc_ref[0, 0]).astype(jnp.int8)
     # re-zero halo rows (bias garbage there); select, not multiply —
     # Mosaic has no int8 muli lowering
     keep = mask_ref[:] != 0
@@ -118,12 +117,11 @@ def _kernel(xp_ref, w1_ref, w2_ref, s1_ref, b1_ref, s2_ref, b2_ref,
                                 preferred_element_type=jnp.int32)
             acc2 = p if acc2 is None else acc2 + p
     y2 = acc2.astype(jnp.float32) * s2_ref[0:1] + b2_ref[0:1]
-    y2 = jnp.where(y2 >= 0, y2, y2 * jnp.float32(LEAKY_SLOPE))
-    q2 = jnp.clip(jnp.round(y2 * s2_ref[1:2]), -127, 127)
+    q2 = requant_clip(_leaky(y2), s2_ref[1:2])
 
     # --- shortcut: dequant-add-requant (models/layers.py::add_requant) ---
     yf = xq.astype(jnp.float32) * sc_ref[0, 2] + q2 * sc_ref[0, 1]
-    qo = jnp.clip(jnp.round(yf * sc_ref[0, 3]), -127, 127).astype(jnp.int8)
+    qo = requant_clip(yf, sc_ref[0, 3]).astype(jnp.int8)
     out_ref[:] = jnp.where(keep, qo, 0)
 
 
