@@ -25,7 +25,7 @@ def test_step_timer_empty_stats():
 
 def test_trace_noop_without_dir():
     with trace(None):
-        pass  # must not require jax.profiler
+        pass  # must not start a trace (start_trace(None) would raise)
 
 
 def test_trace_writes_profile(tmp_path):
