@@ -242,6 +242,10 @@ class Train:
                      else {} if augmentation else None),
             seed=kwargs.get("seed", 0),
             accum_steps=accum_steps,
+            # weight-only QAT: forward on the int8 weight lattice, STE
+            # gradients to the fp32 masters — trains against the exact
+            # weight error the int8 serving tier realizes (ops/quantize.py)
+            qat=bool(kwargs.get("qat", False)),
         )
         eval_step = make_eval_step(
             step_spec, anchors_table, grid_sizes, batch_size, mesh=mesh, bn_frozen=bn_frozen

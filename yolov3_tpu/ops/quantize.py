@@ -144,3 +144,53 @@ def quantize_params(spec, folded_params, act_absmax, skip_final_convs: bool = Tr
                     sm_q[key] = {"out_scale": jnp.float32(out_absmax[tap] / 127.0)}
         qparams[sm.name] = sm_q
     return qparams
+
+
+# ---------------------------------------------------------------------------
+# Weight-only quantization-aware training (QAT)
+# ---------------------------------------------------------------------------
+
+
+def fake_quant_kernel(kernel):
+    """Straight-through-estimator fake-quant of one conv kernel.
+
+    Forward: snap to the per-output-channel symmetric int8 lattice —
+    EXACTLY ``quantize_params``' weight scheme (absmax/127 scale,
+    round-half-even, clip ±127). Backward: identity (STE), so the fp32
+    master keeps training through the rounding.
+
+    Fold-invariance: BN folding multiplies the kernel by a per-output-
+    channel factor s; both the per-channel absmax and the values scale by
+    |s| together, so the quantized INTEGERS after folding equal
+    sign(s) × the integers before folding and the dequantized products are
+    identical. Training against this lattice therefore trains against the
+    exact weight error the int8 serving tier (PTQ on folded kernels) will
+    realize.
+    """
+    k32 = kernel.astype(jnp.float32)
+    w_scale = jnp.maximum(jnp.max(jnp.abs(k32), axis=(0, 1, 2)), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(k32 / w_scale), -127, 127) * w_scale
+    return kernel + jax.lax.stop_gradient(q.astype(kernel.dtype) - kernel)
+
+
+def fake_quant_weights(spec, params, skip_final_convs: bool = True):
+    """Fake-quant every conv kernel the int8 serving tier would quantize.
+
+    The convs feeding yolo layers stay fp (mirrors ``quantize_params``'
+    ``skip_final_convs`` default — box/score logits stay precision-clean).
+    BN params/biases are untouched: serving folds BN into the kernel and
+    the lattice commutes with the fold (see ``fake_quant_kernel``).
+    """
+    final = head_conv_taps(spec) if skip_final_convs else set()
+    out = {}
+    for sm in spec.sub_models:
+        sm_p = {}
+        for key, entry in params[sm.name].items():
+            if (sm.name, key) in final or "kernel" not in entry:
+                sm_p[key] = entry
+            else:
+                e = dict(entry)
+                e["kernel"] = fake_quant_kernel(entry["kernel"])
+                sm_p[key] = e
+        out[sm.name] = sm_p
+    return out

@@ -46,8 +46,17 @@ def init_train_state(params, state, optimizer):
 
 def _loss_and_metrics(spec, params, bn_state, images, labels, anchors_table,
                       grid_sizes, batch_size, bn_frozen, train,
-                      compute_dtype=None, remat=False):
+                      compute_dtype=None, remat=False, qat=False):
     y_true = assign_targets(labels, anchors_table, grid_sizes)
+    params_master = params  # L2 regularizes the real weights, QAT or not
+    if qat:
+        # weight-only QAT: forward sees the int8 weight lattice the serving
+        # tier will realize; gradients flow straight-through to the fp32
+        # masters (ops/quantize.py::fake_quant_weights). Applied BEFORE the
+        # mixed-precision cast so the rounding happens in fp32.
+        from ..ops.quantize import fake_quant_weights
+
+        params = fake_quant_weights(spec, params)
     if compute_dtype is not None:
         # mixed precision: bf16 compute against fp32 master weights — the
         # cast sits inside the differentiated graph, so gradients come back
@@ -64,7 +73,7 @@ def _loss_and_metrics(spec, params, bn_state, images, labels, anchors_table,
             for i, (t, p) in enumerate(zip(y_true, outputs))
         ]
     )  # (nscales, 4) — [xy, wh, obj, class] per grid
-    reg = l2_regularization(params, spec.decay_factor)
+    reg = l2_regularization(params_master, spec.decay_factor)
     total = jnp.sum(terms) + reg
     metrics = {
         "total_loss": total,
@@ -79,7 +88,7 @@ def _loss_and_metrics(spec, params, bn_state, images, labels, anchors_table,
 def make_train_step(spec, anchors_table, grid_sizes, batch_size,
                     optimizer, mesh=None, bn_frozen=(), trainable_mask=None,
                     compute_dtype=None, remat=False, augment=None, seed=0,
-                    accum_steps: int = 1):
+                    accum_steps: int = 1, qat: bool = False):
     """Returns step(train_state, images, labels) → (train_state, metrics).
 
     ``trainable_mask``: optional pytree of bools matching params — False
@@ -101,7 +110,7 @@ def make_train_step(spec, anchors_table, grid_sizes, batch_size,
         _loss_and_metrics, spec,
         anchors_table=anchors_table, grid_sizes=grid_sizes,
         batch_size=batch_size, bn_frozen=tuple(bn_frozen), train=True,
-        compute_dtype=compute_dtype, remat=remat,
+        compute_dtype=compute_dtype, remat=remat, qat=qat,
     )
 
     aug_kwargs = dict(augment) if isinstance(augment, dict) else {}
@@ -130,7 +139,7 @@ def make_train_step(spec, anchors_table, grid_sizes, batch_size,
             grad_fn = jax.value_and_grad(
                 lambda p, bn, im, lb: _loss_and_metrics(
                     spec, p, bn, im, lb, anchors_table, grid_sizes,
-                    micro, tuple(bn_frozen), True, compute_dtype, remat,
+                    micro, tuple(bn_frozen), True, compute_dtype, remat, qat,
                 ),
                 has_aux=True,
             )
