@@ -84,3 +84,58 @@ def test_frozen_params_unchanged(setup):
     for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert not np.allclose(before_head, np.asarray(ts["params"]["head0"]["layer2"]["kernel"]))
+
+
+def test_epoch_learning_rate_schedule():
+    from yolov3_tpu.parallel.train_step import epoch_learning_rate
+
+    sched = {"type": "cosine", "warmup_epochs": 2, "min_lr_fraction": 0.1}
+    base = 1e-3
+    # warmup ramp
+    assert abs(epoch_learning_rate(base, 1, 10, sched) - base / 2) < 1e-12
+    assert abs(epoch_learning_rate(base, 2, 10, sched) - base) < 1e-12
+    # monotone decay after warmup, floor at min_lr_fraction
+    vals = [epoch_learning_rate(base, e, 10, sched) for e in range(3, 11)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert abs(vals[-1] - base * 0.1) < 1e-9
+    # string shorthand
+    assert epoch_learning_rate(base, 1, 4, "cosine") == base
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        epoch_learning_rate(base, 1, 4, {"type": "linear"})
+
+
+def test_scheduled_adam_hyperparam_mutation(setup):
+    """make_adam_scheduled: setting opt_state.hyperparams['learning_rate']
+    between steps changes the update magnitude (the app's per-epoch
+    schedule path), and lr=0 freezes the params exactly."""
+    import jax.numpy as jnp
+
+    from yolov3_tpu.parallel.train_step import make_adam_scheduled
+
+    spec, params, state = setup
+    rng = np.random.RandomState(0)
+    images, labels = _batch(rng)
+    grids = head_grid_sizes(spec, 160)
+    optimizer = make_adam_scheduled(1e-3)
+    step = make_train_step(spec, ANCHORS, grids, images.shape[0], optimizer)
+    ts = init_train_state(params, state, optimizer)
+
+    # freeze via hyperparams: lr = 0 → params bit-identical after a step
+    hp = dict(ts["opt_state"].hyperparams)
+    hp["learning_rate"] = jnp.float32(0.0)
+    ts0 = {**ts, "opt_state": ts["opt_state"]._replace(hyperparams=hp)}
+    ts0_after, _ = step(ts0, images, labels)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(ts0_after["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # restore a real lr → params move
+    ts = init_train_state(params, state, optimizer)
+    ts_after, _ = step(ts, images, labels)
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(ts_after["params"]))
+    )
+    assert moved

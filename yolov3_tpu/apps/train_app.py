@@ -162,7 +162,15 @@ class Train:
                 trainable_mask = tmask(params, tlc.get("freeze_train_list"))
                 bn_frozen = bn_frozen_selectors(tlc.get("batch_norm_freeze_list"))
 
-        optimizer = make_adam(learning_rate)
+        # epoch-keyed LR schedule (extension; reference uses constant lr):
+        # lr_schedule: "cosine" | {type: cosine, warmup_epochs, min_lr_fraction}
+        lr_schedule = kwargs.get("lr_schedule")
+        if lr_schedule:
+            from ..parallel.train_step import epoch_learning_rate, make_adam_scheduled
+
+            optimizer = make_adam_scheduled(learning_rate)
+        else:
+            optimizer = make_adam(learning_rate)
         grid_sizes = head_grid_sizes(spec, image_size)
 
         dataset, dataset_size = create_dataset(
@@ -299,8 +307,17 @@ class Train:
         from ..utils.profiling import StepTimer, trace
 
         timer = StepTimer(images_per_step=batch_size)
+        cur_lr = learning_rate
         for epoch in range(start_epoch, epochs + 1):
             last_epoch = epoch
+            if lr_schedule:
+                cur_lr = epoch_learning_rate(learning_rate, epoch, epochs, lr_schedule)
+                opt_state = train_state["opt_state"]
+                hp = dict(opt_state.hyperparams)
+                hp["learning_rate"] = jnp.asarray(cur_lr, jnp.float32)
+                train_state = {**train_state,
+                               "opt_state": opt_state._replace(hyperparams=hp)}
+                log.info(f"epoch {epoch}: learning_rate {cur_lr:.6g}")
             t0 = time.time()
             nbatches = 0
             with trace(profile_trace_dir if epoch == start_epoch else None):
@@ -311,7 +328,7 @@ class Train:
                         train_state, metrics = train_step(train_state, images, labels)
                     nbatches += 1
                     if verbose:
-                        self._log_metrics(epoch, "train", nbatches - 1, learning_rate, metrics)
+                        self._log_metrics(epoch, "train", nbatches - 1, cur_lr, metrics)
             if nbatches == 0:
                 raise ValueError("Dataset size less than batch size!")
             dt = time.time() - t0
@@ -333,7 +350,7 @@ class Train:
                 metrics = eval_step(train_state["params"], train_state["bn_state"], images, labels)
                 val_losses.append(float(metrics["total_loss"]))
                 if verbose:
-                    self._log_metrics(epoch, "val", batch_i, learning_rate, metrics)
+                    self._log_metrics(epoch, "val", batch_i, cur_lr, metrics)
             if val_losses:
                 log.info(f"epoch {epoch}: val_loss {float(np.mean(val_losses)):.4f}")
 

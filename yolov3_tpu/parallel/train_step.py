@@ -17,6 +17,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax import lax
 
@@ -29,6 +30,40 @@ from .mesh import batch_sharding, replicated_sharding
 def make_adam(learning_rate: float) -> optax.GradientTransformation:
     """Keras-default Adam (eps 1e-7, vs optax default 1e-8) — train.py:168."""
     return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
+
+
+def make_adam_scheduled(learning_rate: float) -> optax.GradientTransformation:
+    """Keras-default Adam with the learning rate exposed as a mutable
+    hyperparameter (``opt_state.hyperparams["learning_rate"]``) — the train
+    app sets it per epoch from an epoch-keyed schedule, which needs no
+    steps-per-epoch knowledge (tfrecords dataset sizes are unknown until
+    the first epoch) and keeps ONE compiled step."""
+    return optax.inject_hyperparams(
+        lambda learning_rate: optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
+    )(learning_rate=learning_rate)
+
+
+def epoch_learning_rate(base_lr: float, epoch: int, epochs: int,
+                        schedule) -> float:
+    """Epoch-keyed LR schedule (epoch is 1-based).
+
+    ``schedule``: "cosine" or {type: cosine, warmup_epochs: W,
+    min_lr_fraction: f}. Warmup ramps linearly over the first W epochs;
+    cosine decays from base_lr to f·base_lr over the remainder.
+    """
+    conf = {"type": schedule} if isinstance(schedule, str) else dict(schedule)
+    kind = conf.get("type", "cosine")
+    if kind != "cosine":
+        raise ValueError(f"unknown lr_schedule type {kind!r}")
+    warmup = int(conf.get("warmup_epochs", 0))
+    min_frac = float(conf.get("min_lr_fraction", 0.01))
+    if warmup and epoch <= warmup:
+        return base_lr * epoch / warmup
+    # first post-warmup epoch at full LR, final epoch at the floor
+    span = max(epochs - warmup - 1, 1)
+    progress = min(max(epoch - warmup - 1, 0) / span, 1.0)
+    cos = 0.5 * (1.0 + np.cos(np.pi * progress))
+    return base_lr * (min_frac + (1.0 - min_frac) * cos)
 
 
 def init_train_state(params, state, optimizer):
