@@ -337,3 +337,23 @@ def test_full_model_activation_parity(full_model_taps, sm_name):
         jo = np.asarray(jo)
         rel = np.abs(ro - jo).max() / (np.abs(ro).max() + 1e-9)
         assert rel <= 1e-3, f"{sm_name} tap {tap_i}: rel diff {rel:.2e}"
+
+
+@pytest.mark.parametrize("hw", [(427, 640), (640, 427), (500, 333), (99, 100), (123, 77)])
+def test_letterbox_resize_parity(hw):
+    """letterbox_resize exactly matches the reference's resize_image
+    (core/utils.py:17-28 = tf.image.resize(preserve_aspect_ratio=True) +
+    pad_to_bounding_box) for non-square inputs — including TF's
+    round-half-to-even scaled-dim computation (floor diverges by one row
+    e.g. at 427x640->416: 278 vs 277)."""
+    import tensorflow as tf
+    from core.utils import resize_image
+    from yolov3_tpu.data.image import letterbox_resize
+
+    h, w = hw
+    rng = np.random.RandomState(h + w)
+    img = rng.rand(h, w, 3).astype(np.float32)
+    ref = resize_image(tf.constant(img), 416, 416).numpy()
+    ours = letterbox_resize(img, 416, 416)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=1e-6)

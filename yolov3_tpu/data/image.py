@@ -31,14 +31,17 @@ def _resample_axis(src_len: int, dst_len: int):
     if dst_len == src_len:
         idx = np.arange(src_len)
         return idx, idx, np.zeros(src_len, np.float32)
-    scale = src_len / dst_len
-    coords = (np.arange(dst_len, dtype=np.float64) + 0.5) * scale - 0.5
+    # float32 throughout: TF's CPU kernel computes the half-pixel source
+    # coordinates in float, so float64 here diverges by up to ~4e-5 on
+    # 400+-pixel axes (last-ulp coordinate differences flip lerp weights)
+    scale = np.float32(src_len) / np.float32(dst_len)
+    coords = (np.arange(dst_len, dtype=np.float32) + np.float32(0.5)) * scale - np.float32(0.5)
     lo = np.floor(coords)
     frac = (coords - lo).astype(np.float32)
     lo = np.clip(lo, 0, src_len - 1).astype(np.int64)
     hi = np.clip(lo + 1, 0, src_len - 1)
     # clip fractional weight where coords < 0 (TF clamps the same way)
-    frac = np.where(coords < 0, 0.0, frac).astype(np.float32)
+    frac = np.where(coords < 0, np.float32(0.0), frac)
     return lo, hi, frac
 
 
@@ -57,18 +60,32 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return left + (right - left) * xf[None, :, None]
 
 
+def letterbox_scaled_dims(h: int, w: int, target_height: int, target_width: int) -> tuple[int, int]:
+    """Scaled (nh, nw) exactly as tf.image.resize(preserve_aspect_ratio=True):
+    float32 scale ratios, float32 multiply, round-half-to-even. Clamped to ≥1
+    so a degenerate aspect ratio can't produce an empty image (TF would emit
+    a 0-row tensor there; the pad step then yields all zeros either way)."""
+    scale = np.minimum(
+        np.float32(target_height) / np.float32(h),
+        np.float32(target_width) / np.float32(w),
+    )
+    nh = int(np.round(scale * np.float32(h)))
+    nw = int(np.round(scale * np.float32(w)))
+    return max(nh, 1), max(nw, 1)
+
+
 def letterbox_resize(img: np.ndarray, target_height: int, target_width: int) -> np.ndarray:
     """Aspect-preserving resize + center zero-pad (core/utils.py:17-28).
 
-    tf.image.resize(preserve_aspect_ratio=True) picks the largest size ≤
-    target preserving ratio: scale = min(th/h, tw/w), floor-rounded dims
-    (at least 1).
+    tf.image.resize(preserve_aspect_ratio=True) computes
+    scale = min(th/h, tw/w) in float32 and ROUNDS (half-to-even) the scaled
+    dims — `round(scale * dim)`, not floor (TF image_ops_impl
+    `_resize_images_common`). Mirrored exactly here so padding offsets and
+    box positions match the reference pipeline for non-square inputs.
     """
     img = np.asarray(img, np.float32)
     h, w = img.shape[:2]
-    scale = min(target_height / h, target_width / w)
-    nh = max(int(h * scale), 1)
-    nw = max(int(w * scale), 1)
+    nh, nw = letterbox_scaled_dims(h, w, target_height, target_width)
     resized = resize_bilinear(img, nh, nw)
     out = np.zeros((target_height, target_width, img.shape[2]), np.float32)
     top = (target_height - nh) // 2

@@ -24,11 +24,15 @@ def resize_bilinear(img, out_h: int, out_w: int):
 
 def letterbox_resize(img, target_height: int, target_width: int):
     """Aspect-preserving resize + center zero-pad (core/utils.py:17-28
-    semantics). img: (H, W, C) or (B, H, W, C) with static dims."""
+    semantics). img: (H, W, C) or (B, H, W, C) with static dims.
+
+    Scaled dims use tf.image.resize's exact rounding (float32 scale,
+    round-half-to-even) via the shared host helper — shapes are static, so
+    this runs at trace time."""
+    from yolov3_tpu.data.image import letterbox_scaled_dims
+
     h, w = img.shape[-3], img.shape[-2]
-    scale = min(target_height / h, target_width / w)
-    nh = max(int(h * scale), 1)
-    nw = max(int(w * scale), 1)
+    nh, nw = letterbox_scaled_dims(h, w, target_height, target_width)
     resized = resize_bilinear(img, nh, nw)
     top = (target_height - nh) // 2
     left = (target_width - nw) // 2
