@@ -28,7 +28,20 @@ def trained_checkpoint(workdir):
     cfg["batch_size"] = 8
     cfg["training_mode"] = "fit"
     cfg["output_checkpoints_path"] = f"{workdir}/yolov3_tiny.tf"
-    Train()(**cfg)
+    # absolutize repo-relative paths and train from the scratch dir: the app
+    # writes model_summary.txt cwd-relative (reference train.py:157-158) and
+    # must not clobber the repo's tracked copy
+    for key in ("model_config_file", "classes_name_file", "anchors_file"):
+        cfg[key] = os.path.abspath(cfg[key])
+    tfr = cfg["dataset_config"]["tfrecords"]
+    for split in tfr:
+        tfr[split] = os.path.abspath(tfr[split])
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        Train()(**cfg)
+    finally:
+        os.chdir(cwd)
     assert os.path.exists(f"{workdir}/yolov3_tiny.tf.npz")
     return cfg["output_checkpoints_path"]
 
@@ -165,7 +178,18 @@ def test_transfer_learning_frozen_backbone(workdir, trained_checkpoint):
         "batch_norm_freeze_list": ["backbone"],
         "input_weights_path": trained_checkpoint,
     }
-    Train()(**cfg)
+    # scratch cwd for the cwd-relative model_summary.txt (see trained_checkpoint)
+    for key in ("model_config_file", "classes_name_file", "anchors_file"):
+        cfg[key] = os.path.abspath(cfg[key])
+    tfr = cfg["dataset_config"]["tfrecords"]
+    for split in tfr:
+        tfr[split] = os.path.abspath(tfr[split])
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        Train()(**cfg)
+    finally:
+        os.chdir(cwd)
 
     spec = parse_model_config(cfg["model_config_file"], nclasses=3)
     init_p, init_s = init_model(jax.random.PRNGKey(0), spec)

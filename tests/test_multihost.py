@@ -67,6 +67,14 @@ def test_train_cli_multihost(repo_root, toy_dataset, tmp_path):
     import yaml
 
     base = yaml.safe_load(open(os.path.join(repo_root, "config/train_config.yaml")))
+    # absolutize repo-relative paths so the CLI can run from a scratch cwd
+    # (train writes model_summary.txt cwd-relative — reference
+    # train.py:157-158 — and must not clobber the repo's tracked copy)
+    for key in ("model_config_file", "classes_name_file", "anchors_file"):
+        base[key] = os.path.join(repo_root, base[key])
+    tfr = base["dataset_config"]["tfrecords"]
+    for split in tfr:
+        tfr[split] = os.path.join(repo_root, tfr[split])
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["YOLOV3_TPU_PLATFORM"] = "cpu"
@@ -86,8 +94,9 @@ def test_train_cli_multihost(repo_root, toy_dataset, tmp_path):
             cfg_path = tmp_path / f"cfg{pid}.yaml"
             cfg_path.write_text(yaml.safe_dump(cfg))
             procs.append(subprocess.Popen(
-                [sys.executable, "train.py", "--config", str(cfg_path)],
-                cwd=repo_root, env=env,
+                [sys.executable, os.path.join(repo_root, "train.py"),
+                 "--config", str(cfg_path)],
+                cwd=str(tmp_path), env=env,
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
         outs = [p.communicate(timeout=900)[0] for p in procs]
         for p, out in zip(procs, outs):

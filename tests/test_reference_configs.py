@@ -127,8 +127,18 @@ def test_pets_transfer_learning_smoke():
     os.chdir(repo)
     try:
         cfg = load_yaml("config/train_config_pets.yaml")
+        # absolutize repo-relative paths so the Train run can use a scratch
+        # cwd (the app writes model_summary.txt cwd-relative — reference
+        # train.py:157-158 — and must not clobber the repo's tracked copy)
+        for key in ("model_config_file", "classes_name_file", "anchors_file"):
+            cfg[key] = os.path.abspath(cfg[key])
+        dfc = cfg["dataset_config"]["data_files"]
+        for split in dfc.values():
+            for k in ("images_dir", "annotations"):
+                split[k] = os.path.abspath(split[k])
 
         with tempfile.TemporaryDirectory() as tmp:
+            os.chdir(tmp)
             # synthetic stand-in for the converted COCO checkpoint (no real
             # yolov3.weights exists in this zero-egress env — BASELINE.md)
             spec80 = parse_model_config(cfg["model_config_file"], nclasses=80)
