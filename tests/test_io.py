@@ -108,3 +108,24 @@ def test_converted_weights_forward_consistency(tmp_path, tiny_spec):
     b, _ = apply_model(tiny_spec, params2, state2, x)
     for u, v in zip(a, b):
         np.testing.assert_allclose(np.asarray(u), np.asarray(v), rtol=1e-6)
+
+
+def test_darknet_roundtrip_spp(repo_root, tmp_path):
+    """The SPP variant's conv walk (convs interleaved with param-free
+    maxpool/route layers in neck0) through the Darknet format: a real
+    yolov3-spp.weights imports through the exact same path."""
+    cwd = os.getcwd()
+    os.chdir(repo_root)
+    try:
+        spec = parse_model_config("config/models/yolov3_spp/model.yaml", nclasses=1)
+    finally:
+        os.chdir(cwd)
+    params, state = init_model(jax.random.PRNGKey(2), spec)
+    state = jax.tree.map(lambda x: x + 0.125, state)
+    path = str(tmp_path / "spp.weights")
+    save_darknet_weights(spec, params, state, path)
+    params2, state2 = load_darknet_weights(spec, path)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(state2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

@@ -110,3 +110,24 @@ def test_train_mode_updates_bn_state(tiny_spec):
     assert "backbone" not in frozen_state or np.allclose(
         np.asarray(frozen_state["backbone"]["layer1"]["mean"]), np.asarray(mean0)
     )
+
+
+def test_spp_variant_builds_and_matches_keras(repo_root):
+    """Bundled YOLOv3-SPP (Darknet mainline yolov3-spp.cfg: stride-1
+    maxpools 5/9/13 + cascaded pairwise concats in neck0 → 2048-ch squeeze).
+    Golden 63,052,381 = the reference Keras count_params() of the same
+    config @ 80 classes (incl. BN stats), verified via
+    core/parse_model.py's build of config/models/yolov3_spp/model.yaml."""
+    cwd = os.getcwd()
+    os.chdir(repo_root)
+    try:
+        spec = parse_model_config(
+            os.path.join(repo_root, "config", "models", "yolov3_spp", "model.yaml"),
+            nclasses=80)
+    finally:
+        os.chdir(cwd)
+    params, state = init_model(jax.random.PRNGKey(0), spec)
+    assert param_count(params) + state_count(state) == 63_052_381
+    assert head_grid_sizes(spec, 416) == (13, 26, 52)
+    # the SPP block is grid-preserving at any input resolution
+    assert head_grid_sizes(spec, 608) == (19, 38, 76)
