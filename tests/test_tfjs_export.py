@@ -59,6 +59,7 @@ def test_jax2tf_saved_model_roundtrip(repo_root, tmp_path):
 @pytest.mark.parametrize("model_yaml,size", [
     ("config/models/yolov3_tiny/model.yaml", 96),   # maxpool/upsample vocab
     ("config/models/yolov3/model.yaml", 64),        # shortcut/route vocab
+    ("config/models/yolov3_spp/model.yaml", 64),    # SPP: stride-1 maxpools + cascaded concats
 ])
 def test_tfjs_graph_model_roundtrip(repo_root, tmp_path, model_yaml, size):
     """The pure-Python TFJS graph-model export (no tensorflowjs CLI):
