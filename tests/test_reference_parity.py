@@ -410,3 +410,183 @@ def test_forward_parity_spp():
     ours = np.asarray(ours[0])
     rel = np.abs(ref_neck0 - ours).max() / (np.abs(ref_neck0).max() + 1e-9)
     assert rel <= 1e-3, f"spp neck0 rel diff {rel:.2e}"
+
+
+
+def test_train_gradient_parity():
+    """Training-step parity one level deeper than the loss tests: the full
+    total loss (per-scale 4-term / batch_size + L2, reference
+    train.py:38-54) AND its gradients w.r.t. every conv kernel/bias and BN
+    gamma/beta must match a TF GradientTape over a reference-built model
+    with the reference loss closures (train.py:170-171), both in training
+    mode (batch-statistics BN). Pins our AD + train-mode forward against
+    the reference's actual optimization math.
+
+    Uses a small fixed two-head topology at 64x64 covering the full vocab
+    (BN and bias convs, stride 2, shortcut, route concat, maxpool,
+    upsample): at 416x416 the first conv's weight gradient sums ~350k f32
+    products with heavy cancellation and TF's oneDNN reduction order makes
+    the comparison nondeterministic at the 1e-2 level — at 64x64 the
+    accumulation noise stays below the 1e-3 gate."""
+    import tempfile
+    import yaml
+    import jax
+    import jax.numpy as jnp
+    import tensorflow as tf
+    from tensorflow.keras import Input
+    from core.parse_model import ParseModel
+    from core.loss_func import get_loss_func
+    from yolov3_tpu.models import parse_model_config, init_model
+    from yolov3_tpu.ops.assign import assign_targets
+    from yolov3_tpu.parallel.train_step import _loss_and_metrics
+
+    nclasses, B, IMAGE = 3, 2, 64
+
+    body = [
+        {"type": "route", "source": {"inputs": [0]}},
+        {"type": "convolutional", "filters": 8, "size": 3, "stride": 1,
+         "pad": 1, "activation": "leaky", "batch_normalize": 1},
+        {"type": "convolutional", "filters": 16, "size": 3, "stride": 2,
+         "pad": 1, "activation": "leaky", "batch_normalize": 1},
+        # residual block
+        {"type": "convolutional", "filters": 8, "size": 1, "stride": 1,
+         "pad": 1, "activation": "leaky", "batch_normalize": 1},
+        {"type": "convolutional", "filters": 16, "size": 3, "stride": 1,
+         "pad": 1, "activation": "leaky", "batch_normalize": 1},
+        {"type": "shortcut", "from": -3, "activation": "linear"},
+        # bias conv (no BN)
+        {"type": "convolutional", "filters": 16, "size": 3, "stride": 2,
+         "pad": 1, "activation": "leaky"},
+        {"type": "maxpool", "size_xy": [2, 2], "stride_xy": [2, 2],
+         "padding": "same"},                                   # 7: scale 8
+        {"type": "convolutional", "filters": 24, "size": 3, "stride": 2,
+         "pad": 1, "activation": "leaky", "batch_normalize": 1},  # 8: scale 16
+        {"type": "upsample", "stride": 2},                        # 9: scale 8
+        {"type": "route", "source": {"layers": [-1, -3]}},        # 10: 24+16 ch
+        {"type": "convolutional", "filters": 16, "size": 1, "stride": 1,
+         "pad": 1, "activation": "leaky", "batch_normalize": 1},  # 11: scale 8
+    ]
+
+    def head(grid):
+        return [
+            {"type": "route", "source": {"inputs": [0]}},
+            {"type": "convolutional", "filters": 16, "size": 3, "stride": 1,
+             "pad": 1, "activation": "leaky", "batch_normalize": 1},
+            {"type": "convolutional", "filters": "3*(2+2+1+nclasses)",
+             "size": 1, "stride": 1, "pad": 1, "activation": "linear"},
+            {"type": "yolo", "grid_size": grid, "jitter": 0.3},
+        ]
+
+    with tempfile.TemporaryDirectory() as tmp:
+        for name, layers in (("body.yaml", body),
+                             ("head_a.yaml", head(IMAGE // 16)),
+                             ("head_b.yaml", head(IMAGE // 8))):
+            with open(os.path.join(tmp, name), "w") as f:
+                yaml.safe_dump({"layers_config": layers}, f)
+        model = {
+            "decay_factor": 0.0005, "output_stage": "head",
+            "grid_sizes": [IMAGE // 16, IMAGE // 8],
+            "sub_models_configs": [
+                {"name": "body", "layers_config_file": f"{tmp}/body.yaml",
+                 "outputs_layers": [8, -1]},
+                {"name": "head_a", "layers_config_file": f"{tmp}/head_a.yaml",
+                 "inputs": {"source": [{"name": "body", "entry_index": 0}]},
+                 "outputs_layers": [-1]},
+                {"name": "head_b", "layers_config_file": f"{tmp}/head_b.yaml",
+                 "inputs": {"source": [{"name": "body", "entry_index": 1}]},
+                 "outputs_layers": [-1]},
+            ],
+        }
+        model_path = os.path.join(tmp, "model.yaml")
+        with open(model_path, "w") as f:
+            yaml.safe_dump(model, f)
+
+        ref = ParseModel().build_model(Input(shape=(IMAGE, IMAGE, 3)),
+                                       nclasses=nclasses, **model)
+        spec = parse_model_config(model_path, nclasses=nclasses)
+
+    params, state = init_model(jax.random.PRNGKey(1), spec)
+    params, state = _copy_ref_weights(ref, spec, params, state)
+
+    rng = np.random.RandomState(5)
+    images = rng.rand(B, IMAGE, IMAGE, 3).astype(np.float32)
+    labels = _rand_labels(rng, b=B, nclasses=nclasses)
+    anchors = ANCHORS[:2]  # 2 scales
+    grid_sizes = (IMAGE // 16, IMAGE // 8)
+
+    # y_true for the TF side from our assigner (bit-exact vs the reference's
+    # — test_assigner_bit_exact_vs_reference)
+    y_true = [np.asarray(t) for t in
+              assign_targets(jnp.asarray(labels), anchors, grid_sizes)]
+
+    def _flat(o):
+        if isinstance(o, (list, tuple)):
+            for e in o:
+                yield from _flat(e)
+        else:
+            yield o
+
+    # reference _calc_loss under GradientTape (eager 4-term closures)
+    loss_fns = [get_loss_func(anchors[i], nclasses, tf.constant(True))
+                for i in range(2)]
+    with tf.GradientTape() as tape:
+        outputs = list(_flat(ref(tf.constant(images), training=True)))
+        reg = tf.reduce_sum(ref.losses)
+        pred_loss = [loss_fns[i](tf.constant(y_true[i]), outputs[i]) / B
+                     for i in range(2)]
+        ref_total = tf.reduce_sum(tf.stack(pred_loss)) + reg
+
+    # TF variables in our conv-walk order (same walk as _copy_ref_weights)
+    def idx_of(name, prefix):
+        rest = name[len(prefix):]
+        return 0 if rest == "" else int(rest[1:])
+
+    convs, bns = [], []
+    for lyr in ref.layers:
+        if hasattr(lyr, "layers"):
+            for l2 in lyr.layers:
+                if l2.name.startswith("conv2d"):
+                    convs.append(l2)
+                if l2.name.startswith("batch_normalization"):
+                    bns.append(l2)
+    convs.sort(key=lambda l: idx_of(l.name, "conv2d"))
+    bns.sort(key=lambda l: idx_of(l.name, "batch_normalization"))
+
+    tf_vars, keys = [], []
+    ci = bi = 0
+    for sm in spec.sub_models:
+        for i, layer in enumerate(sm.layers):
+            if layer.kind != "convolutional":
+                continue
+            kl = convs[ci]; ci += 1
+            tf_vars.append(kl.kernel); keys.append((sm.name, i, "kernel"))
+            if layer.get("batch_normalize"):
+                bl = bns[bi]; bi += 1
+                tf_vars.append(bl.gamma); keys.append((sm.name, i, "gamma"))
+                tf_vars.append(bl.beta); keys.append((sm.name, i, "beta"))
+            else:
+                tf_vars.append(kl.bias); keys.append((sm.name, i, "bias"))
+    assert ci == len(convs) and bi == len(bns)
+    tf_grads = tape.gradient(ref_total, tf_vars)
+
+    # our total + grads
+    def total_fn(p):
+        total, _aux = _loss_and_metrics(
+            spec, p, state, jnp.asarray(images), jnp.asarray(labels),
+            anchors, grid_sizes, batch_size=B, bn_frozen=(), train=True)
+        return total
+
+    our_total, our_grads = jax.value_and_grad(total_fn)(params)
+
+    rel_total = abs(float(ref_total) - float(our_total)) / (abs(float(ref_total)) + 1e-9)
+    assert rel_total <= 1e-5, f"total loss rel diff {rel_total:.2e}"
+
+    for (sm_name, i, which), tg in zip(keys, tf_grads):
+        entry = our_grads[sm_name][f"layer{i}"]
+        og = {"kernel": lambda: entry["kernel"],
+              "bias": lambda: entry["bias"],
+              "gamma": lambda: entry["bn"]["gamma"],
+              "beta": lambda: entry["bn"]["beta"]}[which]()
+        tg, og = np.asarray(tg), np.asarray(og)
+        rel = np.abs(tg - og).max() / (np.abs(tg).max() + 1e-9)
+        assert rel <= 1e-3, f"{sm_name} layer{i} {which}: grad rel diff {rel:.2e}"
