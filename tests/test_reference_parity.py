@@ -590,3 +590,62 @@ def test_train_gradient_parity():
         tg, og = np.asarray(tg), np.asarray(og)
         rel = np.abs(tg - og).max() / (np.abs(tg).max() + 1e-9)
         assert rel <= 1e-3, f"{sm_name} layer{i} {which}: grad rel diff {rel:.2e}"
+
+
+def test_evaluator_counters_match_reference():
+    """Randomized golden: per-class tp/fp/fn/preds/gts + errors/examples
+    from our fixed-shape vmapped evaluator must equal the reference's
+    ragged per-image EvaluateDetections (evaluate_detections.py:120-145)
+    over a stream of random images — including greedy gt assignment order
+    and the duplicate-TP quirk (assignment mask read before update).
+
+    The negative-gt-class 'errors' path is deliberately NOT part of this
+    golden: the reference's try/except lives inside a @tf.function
+    (evaluate_detections.py:64-72), which cannot catch the runtime scatter
+    error — a -1 gt class makes the reference CRASH with
+    InvalidArgumentError (verified in this environment), so its errors
+    counter is unreachable at runtime. We implement the documented intent
+    (count the error, skip the image) — pinned by the intent-based unit
+    test test_negative_class_counts_error_only."""
+    import tensorflow as tf
+    from evaluate_detections import EvaluateDetections as RefEval
+    from yolov3_tpu.eval.detections_evaluator import EvaluateDetections
+
+    nclasses, iou_t = 5, 0.5
+    P, G, NIMG = 8, 6, 24
+    rng = np.random.RandomState(42)
+
+    ref = RefEval(nclasses, iou_t)
+    ours = EvaluateDetections(nclasses, iou_t)
+
+    for img in range(NIMG):
+        n_p = rng.randint(1, P + 1)
+        n_g = rng.randint(1, G + 1)
+        # overlapping-ish boxes so IoU decisions actually trigger
+        centers = rng.rand(max(n_p, n_g), 2) * 0.7 + 0.1
+        def boxes_from(n):
+            c = centers[rng.randint(0, len(centers), n)]
+            wh = rng.rand(n, 2) * 0.25 + 0.05
+            b = np.concatenate([c - wh / 2, c + wh / 2], -1)
+            return np.clip(b, 0, 1).astype(np.float32)
+        pb, gb = boxes_from(n_p), boxes_from(n_g)
+        pc = rng.randint(0, nclasses, n_p).astype(np.int32)
+        gc = rng.randint(0, nclasses, n_g).astype(np.int32)
+
+        ref.evaluate(tf.RaggedTensor.from_tensor(tf.constant(pb)),
+                     tf.constant(pc), tf.constant(gb), tf.constant(gc))
+
+        pv = np.zeros((1, P), bool); pv[0, :n_p] = True
+        gv = np.zeros((1, G), bool); gv[0, :n_g] = True
+        pb_pad = np.zeros((1, P, 4), np.float32); pb_pad[0, :n_p] = pb
+        gb_pad = np.zeros((1, G, 4), np.float32); gb_pad[0, :n_g] = gb
+        pc_pad = np.zeros((1, P), np.int32); pc_pad[0, :n_p] = pc
+        gc_pad = np.zeros((1, G), np.int32); gc_pad[0, :n_g] = gc
+        ours.evaluate_batch(pb_pad, pc_pad, pv, gb_pad, gc_pad, gv)
+
+    for key in ("preds", "gts", "tp", "fp", "fn"):
+        np.testing.assert_array_equal(
+            np.asarray(ref.counters[key]), ours.counters[key],
+            err_msg=f"counter {key}")
+    assert int(ref.counters["errors"]) == ours.counters["errors"]
+    assert int(ref.counters["examples"]) == ours.counters["examples"]
