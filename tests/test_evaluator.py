@@ -81,3 +81,33 @@ def test_ap50_half_recall():
                   [[0.1, 0.1, 0.5, 0.5], [0.6, 0.6, 0.9, 0.9]], [0, 0])
     aps, mean_ap = acc.compute()
     np.testing.assert_allclose(aps[0], 0.5)
+
+
+def test_ap50_analytic_interleaved():
+    """Hand-computed AP@0.5: one class, 2 GTs over 2 images, 3 preds ranked
+    TP(0.9), FP(0.8), TP(0.7) → precision envelope gives
+    AP = 0.5*1 + 0.5*(2/3) = 5/6."""
+    acc = APAccumulator(1, 0.5)
+    gt = [[0.0, 0.0, 0.4, 0.4]]
+    far = [[0.6, 0.6, 0.9, 0.9]]  # IoU 0 vs gt
+    acc.add_image([gt[0], far[0]], [0, 0], [0.9, 0.8], gt, [0])
+    acc.add_image([gt[0]], [0], [0.7], gt, [0])
+    aps, mean_ap = acc.compute()
+    np.testing.assert_allclose(aps[0], 5.0 / 6.0, rtol=1e-12)
+    np.testing.assert_allclose(mean_ap, 5.0 / 6.0, rtol=1e-12)
+
+
+def test_coco_map_iou_bucketing():
+    """A single pred at IoU exactly 0.75 vs its gt is a TP at thresholds
+    .50–.70 (strict >) and a FP at .75–.95 → AP 1.0 at five thresholds,
+    0.0 at five → mAP@[.5:.95] = 0.5, mAP@0.5 = 1.0."""
+    from yolov3_tpu.eval.detections_evaluator import CocoAPAccumulator
+
+    acc = CocoAPAccumulator(1)
+    gt = [[0.0, 0.0, 1.0, 1.0]]
+    pred = [[0.0, 0.0, 1.0, 0.75]]  # inter .75, union 1 → IoU .75
+    acc.add_image(pred, [0], [0.9], gt, [0])
+    aps, map5095, map50 = acc.compute()
+    np.testing.assert_allclose(map50, 1.0)
+    np.testing.assert_allclose(map5095, 0.5)
+    np.testing.assert_allclose(aps[0], 0.5)
