@@ -80,6 +80,11 @@ MODEL = os.environ.get("BENCH_MODEL", "yolov3")
 
 
 def main():
+    # honor YOLOV3_TPU_COMPILE_CACHE — reruns of the bench (same program)
+    # then skip the 20-40 s TPU compile
+    from yolov3_tpu.utils.compile_cache import enable_from_env_or_config
+
+    enable_from_env_or_config(None)
     from yolov3_tpu.models import parse_model_config, init_model, apply_model, fold_batch_norm
     from yolov3_tpu.ops.decode import yolo_decode
     from yolov3_tpu.ops.nms import yolo_nms, gather_detections

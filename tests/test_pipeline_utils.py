@@ -1,4 +1,5 @@
 import numpy as np
+import os
 import pytest
 
 from yolov3_tpu.data.pipeline import Batcher, Dataset, DevicePrefetcher
@@ -38,3 +39,33 @@ def test_prefetcher_propagates_errors():
     ds = Dataset(gen)
     with pytest.raises(RuntimeError, match="decode failed"):
         list(DevicePrefetcher(Batcher(ds, 1)))
+
+
+def test_compilation_cache_populates(tmp_path):
+    """compilation_cache wiring: enabling points JAX's persistent cache at
+    the dir and a jitted call writes an entry; a fresh compile of the same
+    program is served from disk (observable as a cache hit via the
+    miss-count API would need internals — entry presence is the contract)."""
+    import jax
+    import jax.numpy as jnp
+    from yolov3_tpu.utils.compile_cache import enable_compilation_cache
+
+    cache_dir = str(tmp_path / "xla_cache")
+    assert enable_compilation_cache(cache_dir) == cache_dir
+    try:
+        @jax.jit
+        def f(x):
+            return (x * 3.5 + 1).sum()
+
+        f(jnp.arange(128.0)).block_until_ready()
+        entries = os.listdir(cache_dir)
+        assert entries, "no persistent cache entry written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_compilation_cache_disabled_values():
+    from yolov3_tpu.utils.compile_cache import enable_compilation_cache
+
+    for v in (False, None, "", "0", "false"):
+        assert enable_compilation_cache(v) is None

@@ -18,6 +18,9 @@ from ..models import parse_model_config, apply_model
 
 
 def convert(convert_config: dict):
+    from ..utils.compile_cache import enable_from_env_or_config
+
+    enable_from_env_or_config(convert_config.get("compilation_cache"))
     nclasses = convert_config["num_classes"]
     weights_file = convert_config["weights_file"]
     output_weights_file = convert_config["output_weights_file"]

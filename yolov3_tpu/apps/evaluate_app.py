@@ -85,6 +85,9 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
              coco_map: bool = False):
     thresholds = evaluate_config["evaluate_nms_score_thresholds"]
 
+    from ..utils.compile_cache import enable_from_env_or_config
+
+    enable_from_env_or_config(detect_config.get("compilation_cache"))
     anchors_table = get_anchors(detect_config["anchors_file"])
     class_names = read_class_names(detect_config["classes_name_file"])
     nclasses = len(class_names)

@@ -136,6 +136,9 @@ class Inference:
         data_parallel=False,
         **kwargs,
     ):
+        from ..utils.compile_cache import enable_from_env_or_config
+
+        enable_from_env_or_config(kwargs.get("compilation_cache"))
         os.makedirs(output_dir, exist_ok=True)
         detect_txt = f"{output_dir}/detect.txt"
         if os.path.exists(detect_txt):

@@ -107,6 +107,9 @@ class Train:
         if not logging.getLogger().handlers:
             logging.basicConfig(level=logging.INFO, format="%(levelname)s:%(name)s:%(message)s")
         logging.getLogger().setLevel(logging.INFO)
+        from ..utils.compile_cache import enable_from_env_or_config
+
+        enable_from_env_or_config(kwargs.get("compilation_cache"))
         if debug_nans:
             from ..utils.profiling import enable_nan_debug
 

@@ -1,0 +1,58 @@
+"""Persistent XLA compilation cache for the CLIs.
+
+The full-model jit costs 20-40 s to compile on TPU (1-5 min on CPU); the
+programs are deterministic functions of (spec, shapes, flags), so reruns
+of the same config recompile the exact same executables. JAX's persistent
+compilation cache skips that: enable it and the second run of any CLI
+starts serving/training in seconds.
+
+Opt-in (the reference has no analogous knob, and always-on would write to
+the user's home from tests/CI): pass ``compilation_cache: true`` (default
+dir ``~/.cache/yolov3_tpu/xla``) or ``compilation_cache: /some/dir`` in
+any run config, or set ``YOLOV3_TPU_COMPILE_CACHE=<dir|1>`` in the
+environment (the env var also covers bench/tools).
+"""
+
+from __future__ import annotations
+
+import os
+
+DEFAULT_DIR = os.path.expanduser("~/.cache/yolov3_tpu/xla")
+
+_enabled_dir = None
+
+
+def enable_compilation_cache(value=True) -> str | None:
+    """Enable JAX's persistent compilation cache.
+
+    ``value``: True / "1" → default dir; a string → that directory;
+    False/None/"0" → no-op. Returns the cache dir in use (or None).
+    Idempotent; later calls with a different dir re-point the cache.
+    """
+    global _enabled_dir
+    if value in (False, None, "", "0", "false", "False"):
+        return None
+    path = DEFAULT_DIR if value in (True, "1", "true", "True") else str(value)
+    path = os.path.expanduser(path)
+    os.makedirs(path, exist_ok=True)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache every program, not just slow-to-compile ones: the point is CLI
+    # rerun latency, and even "fast" CPU compiles of the small tiers are
+    # seconds
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _enabled_dir = path
+    return path
+
+
+def enable_from_env_or_config(config_value=None) -> str | None:
+    """Apps call this once at startup: config key wins, env is fallback."""
+    if config_value is not None:
+        return enable_compilation_cache(config_value)
+    env = os.environ.get("YOLOV3_TPU_COMPILE_CACHE")
+    if env:
+        return enable_compilation_cache(env)
+    return None
