@@ -19,6 +19,36 @@ jax.config.update("jax_platforms", "cpu")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# Persistent XLA compile cache for the suite: the full-model CPU compiles
+# dominate suite wall time and are identical run-to-run (JAX keys entries
+# on the program hash, so stale hits are impossible). Opt out with
+# YOLOV3_TPU_TEST_COMPILE_CACHE=0.
+SUITE_XLA_CACHE = os.path.join(REPO, ".pytest_xla_cache")
+if os.environ.get("YOLOV3_TPU_TEST_COMPILE_CACHE", "1") != "0":
+    from yolov3_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache(SUITE_XLA_CACHE)
+
+
+def absolutize_run_config(cfg, root=None):
+    """Make a run config's repo-relative paths absolute so the app under
+    test can run from a scratch cwd (the train app writes model_summary.txt
+    cwd-relative — reference train.py:157-158 — and must not clobber the
+    repo's tracked copy). Mutates and returns cfg."""
+    root = root or REPO
+    for key in ("model_config_file", "classes_name_file", "anchors_file"):
+        if key in cfg:
+            cfg[key] = os.path.join(root, cfg[key])  # join is a no-op on abs paths
+    dc = cfg.get("dataset_config", {})
+    tfr = dc.get("tfrecords") or {}
+    for split in tfr:
+        tfr[split] = os.path.join(root, tfr[split])
+    for split in (dc.get("data_files") or {}).values():
+        for k in ("images_dir", "annotations"):
+            if k in split:
+                split[k] = os.path.join(root, split[k])
+    return cfg
+
 import pytest  # noqa: E402
 
 

@@ -8,6 +8,8 @@ import numpy as np
 import pytest
 import yaml
 
+from .conftest import absolutize_run_config
+
 
 @pytest.fixture(scope="module")
 def workdir(repo_root, tmp_path_factory, toy_dataset):
@@ -28,14 +30,7 @@ def trained_checkpoint(workdir):
     cfg["batch_size"] = 8
     cfg["training_mode"] = "fit"
     cfg["output_checkpoints_path"] = f"{workdir}/yolov3_tiny.tf"
-    # absolutize repo-relative paths and train from the scratch dir: the app
-    # writes model_summary.txt cwd-relative (reference train.py:157-158) and
-    # must not clobber the repo's tracked copy
-    for key in ("model_config_file", "classes_name_file", "anchors_file"):
-        cfg[key] = os.path.abspath(cfg[key])
-    tfr = cfg["dataset_config"]["tfrecords"]
-    for split in tfr:
-        tfr[split] = os.path.abspath(tfr[split])
+    absolutize_run_config(cfg)  # train from a scratch cwd (see conftest)
     cwd = os.getcwd()
     os.chdir(workdir)
     try:
@@ -178,12 +173,7 @@ def test_transfer_learning_frozen_backbone(workdir, trained_checkpoint):
         "batch_norm_freeze_list": ["backbone"],
         "input_weights_path": trained_checkpoint,
     }
-    # scratch cwd for the cwd-relative model_summary.txt (see trained_checkpoint)
-    for key in ("model_config_file", "classes_name_file", "anchors_file"):
-        cfg[key] = os.path.abspath(cfg[key])
-    tfr = cfg["dataset_config"]["tfrecords"]
-    for split in tfr:
-        tfr[split] = os.path.abspath(tfr[split])
+    absolutize_run_config(cfg)  # train from a scratch cwd (see conftest)
     cwd = os.getcwd()
     os.chdir(workdir)
     try:

@@ -66,18 +66,16 @@ def test_train_cli_multihost(repo_root, toy_dataset, tmp_path):
     checkpoint writes (BASELINE configs[3] scaled down to CPU)."""
     import yaml
 
+    from .conftest import SUITE_XLA_CACHE, absolutize_run_config
+
     base = yaml.safe_load(open(os.path.join(repo_root, "config/train_config.yaml")))
-    # absolutize repo-relative paths so the CLI can run from a scratch cwd
-    # (train writes model_summary.txt cwd-relative — reference
-    # train.py:157-158 — and must not clobber the repo's tracked copy)
-    for key in ("model_config_file", "classes_name_file", "anchors_file"):
-        base[key] = os.path.join(repo_root, base[key])
-    tfr = base["dataset_config"]["tfrecords"]
-    for split in tfr:
-        tfr[split] = os.path.join(repo_root, tfr[split])
+    absolutize_run_config(base, repo_root)  # CLI runs from a scratch cwd
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["YOLOV3_TPU_PLATFORM"] = "cpu"
+    # share the suite's persistent compile cache with the spawned CLIs —
+    # this test pays two full-model CPU compiles per run otherwise
+    env["YOLOV3_TPU_COMPILE_CACHE"] = SUITE_XLA_CACHE
 
     def run_both(epochs):
         port = _free_port()

@@ -50,6 +50,7 @@ def test_compilation_cache_populates(tmp_path):
     import jax.numpy as jnp
     from yolov3_tpu.utils.compile_cache import enable_compilation_cache
 
+    prev = jax.config.jax_compilation_cache_dir  # conftest may have set one
     cache_dir = str(tmp_path / "xla_cache")
     assert enable_compilation_cache(cache_dir) == cache_dir
     try:
@@ -61,11 +62,11 @@ def test_compilation_cache_populates(tmp_path):
         entries = os.listdir(cache_dir)
         assert entries, "no persistent cache entry written"
     finally:
-        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_compilation_cache_dir", prev)
 
 
 def test_compilation_cache_disabled_values():
     from yolov3_tpu.utils.compile_cache import enable_compilation_cache
 
-    for v in (False, None, "", "0", "false"):
+    for v in (False, None, "", "0", "false", "no", "OFF", " False "):
         assert enable_compilation_cache(v) is None

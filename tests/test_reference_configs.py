@@ -127,15 +127,9 @@ def test_pets_transfer_learning_smoke():
     os.chdir(repo)
     try:
         cfg = load_yaml("config/train_config_pets.yaml")
-        # absolutize repo-relative paths so the Train run can use a scratch
-        # cwd (the app writes model_summary.txt cwd-relative — reference
-        # train.py:157-158 — and must not clobber the repo's tracked copy)
-        for key in ("model_config_file", "classes_name_file", "anchors_file"):
-            cfg[key] = os.path.abspath(cfg[key])
-        dfc = cfg["dataset_config"]["data_files"]
-        for split in dfc.values():
-            for k in ("images_dir", "annotations"):
-                split[k] = os.path.abspath(split[k])
+        from .conftest import absolutize_run_config
+
+        absolutize_run_config(cfg, repo)  # Train runs from a scratch cwd
 
         with tempfile.TemporaryDirectory() as tmp:
             os.chdir(tmp)

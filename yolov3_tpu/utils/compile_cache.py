@@ -19,20 +19,26 @@ import os
 
 DEFAULT_DIR = os.path.expanduser("~/.cache/yolov3_tpu/xla")
 
-_enabled_dir = None
+_DISABLE = {"0", "false", "no", "off"}
+_ENABLE_DEFAULT = {"1", "true", "yes", "on"}
 
 
 def enable_compilation_cache(value=True) -> str | None:
     """Enable JAX's persistent compilation cache.
 
-    ``value``: True / "1" → default dir; a string → that directory;
-    False/None/"0" → no-op. Returns the cache dir in use (or None).
-    Idempotent; later calls with a different dir re-point the cache.
+    ``value``: True / "1"-like → default dir; any other string → that
+    directory; False/None/"off"-like → no-op. Returns the cache dir in
+    use (or None). Idempotent; later calls with a different dir re-point
+    the cache.
     """
-    global _enabled_dir
-    if value in (False, None, "", "0", "false", "False"):
+    if value is False or value is None:
         return None
-    path = DEFAULT_DIR if value in (True, "1", "true", "True") else str(value)
+    if isinstance(value, str) and value.strip().lower() in _DISABLE | {""}:
+        return None
+    if value is True or (isinstance(value, str) and value.strip().lower() in _ENABLE_DEFAULT):
+        path = DEFAULT_DIR
+    else:
+        path = str(value)
     path = os.path.expanduser(path)
     os.makedirs(path, exist_ok=True)
 
@@ -44,7 +50,6 @@ def enable_compilation_cache(value=True) -> str | None:
     # seconds
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    _enabled_dir = path
     return path
 
 
