@@ -62,6 +62,11 @@ def test_compilation_cache_populates(tmp_path):
         entries = os.listdir(cache_dir)
         assert entries, "no persistent cache entry written"
     finally:
+        # restore the suite-wide cache (and reset the initialized cache
+        # object so the restored dir actually takes effect)
+        from jax.experimental.compilation_cache import compilation_cache
+
+        compilation_cache.reset_cache()
         jax.config.update("jax_compilation_cache_dir", prev)
 
 

@@ -44,6 +44,13 @@ def enable_compilation_cache(value=True) -> str | None:
 
     import jax
 
+    if jax.config.jax_compilation_cache_dir not in (None, path):
+        # the persistent cache object is initialized once at first use; a
+        # later dir change silently keeps writing to the old one without
+        # this reset
+        from jax.experimental.compilation_cache import compilation_cache
+
+        compilation_cache.reset_cache()
     jax.config.update("jax_compilation_cache_dir", path)
     # cache every program, not just slow-to-compile ones: the point is CLI
     # rerun latency, and even "fast" CPU compiles of the small tiers are
