@@ -231,38 +231,115 @@ class Train:
                     jax.make_array_from_process_local_data(sharding, np.asarray(x)[sl])
                     for x in batch)
 
-        # space-to-depth stem reschedule: spec-only, params/grads/checkpoints
-        # identical (ops/s2d.py::s2d_stem_train); `stem_s2d: true` opts in.
-        # Measured perf-neutral on v5e at B=128 (PERF.md) — the train step is
-        # not stem-bound — so it defaults OFF; kept for odd-geometry configs.
-        # init/save/load above and below keep using the ORIGINAL spec.
-        step_spec = spec
-        if kwargs.get("stem_s2d", False):
-            from ..ops.s2d import s2d_stem_train
+        # EMA shadow weights (extension; the reference has no equivalent):
+        # `ema: true` or `ema: {decay: 0.9999, warmup: true,
+        # use_for_validation: false}`. The shadow (params + BN statistics)
+        # updates inside the jitted step and is saved alongside every
+        # checkpoint as `<path>.ema.npz` — point a detect config's
+        # input_weights_path at it to serve the averaged weights.
+        ema_conf = kwargs.get("ema")
+        if ema_conf:
+            ema_conf = dict(ema_conf) if isinstance(ema_conf, dict) else {}
+            ema_decay = float(ema_conf.get("decay", 0.9999))
+            log.info(f"ema: decay {ema_decay}"
+                     + (", used for validation/early-stopping"
+                        if ema_conf.get("use_for_validation") else ""))
+        else:
+            ema_conf, ema_decay = None, None
 
-            step_spec = s2d_stem_train(spec, image_size)
-            if step_spec is not spec:
-                log.info("stem_s2d: training stem rescheduled to 2×2-phase layout")
+        def build_step_spec(size):
+            # space-to-depth stem reschedule: spec-only, params/grads/
+            # checkpoints identical (ops/s2d.py::s2d_stem_train);
+            # `stem_s2d: true` opts in. Measured perf-neutral on v5e at
+            # B=128 (PERF.md) — the train step is not stem-bound — so it
+            # defaults OFF; kept for odd-geometry configs. init/save/load
+            # keep using the ORIGINAL spec.
+            if kwargs.get("stem_s2d", False):
+                from ..ops.s2d import s2d_stem_train
 
-        train_step = make_train_step(
-            step_spec, anchors_table, grid_sizes, batch_size, optimizer,
-            mesh=mesh, bn_frozen=bn_frozen, trainable_mask=trainable_mask,
-            compute_dtype=jnp.bfloat16 if mixed_precision else None,
-            remat=remat,
-            augment=(augmentation if isinstance(augmentation, dict)
-                     else {} if augmentation else None),
-            seed=kwargs.get("seed", 0),
-            accum_steps=accum_steps,
-            # weight-only QAT: forward on the int8 weight lattice, STE
-            # gradients to the fp32 masters — trains against the exact
-            # weight error the int8 serving tier realizes (ops/quantize.py)
-            qat=bool(kwargs.get("qat", False)),
-        )
+                step_spec = s2d_stem_train(spec, size)
+                if step_spec is not spec:
+                    log.info(f"stem_s2d: training stem rescheduled to 2×2-phase layout @{size}")
+                return step_spec
+            return spec
+
+        def build_train_step(size):
+            # one compiled step per image size — static shapes per size
+            # bucket are the TPU-native substitute for Darknet's dynamic
+            # multi-scale resize (multi_scale config key below)
+            return make_train_step(
+                build_step_spec(size), anchors_table,
+                head_grid_sizes(spec, size), batch_size, optimizer,
+                mesh=mesh, bn_frozen=bn_frozen, trainable_mask=trainable_mask,
+                compute_dtype=jnp.bfloat16 if mixed_precision else None,
+                remat=remat,
+                augment=(augmentation if isinstance(augmentation, dict)
+                         else {} if augmentation else None),
+                seed=kwargs.get("seed", 0),
+                accum_steps=accum_steps,
+                # weight-only QAT: forward on the int8 weight lattice, STE
+                # gradients to the fp32 masters — trains against the exact
+                # weight error the int8 serving tier realizes (ops/quantize.py)
+                qat=bool(kwargs.get("qat", False)),
+                ema_decay=ema_decay,
+                ema_warmup=bool(ema_conf.get("warmup", True)) if ema_conf is not None else True,
+            )
+
+        train_step = build_train_step(image_size)
         eval_step = make_eval_step(
-            step_spec, anchors_table, grid_sizes, batch_size, mesh=mesh, bn_frozen=bn_frozen
+            build_step_spec(image_size), anchors_table, grid_sizes, batch_size,
+            mesh=mesh, bn_frozen=bn_frozen
         )
 
-        train_state = init_train_state(params, bn_state, optimizer)
+        # Multi-scale training (extension; Darknet trains YOLOv3 with random
+        # input resolutions — the TF reference dropped that). `multi_scale:
+        # [320, 416, 608]` or `{sizes: [...], mode: cycle|random}` re-letterboxes
+        # the train split and swaps in a per-size compiled step each epoch;
+        # sizes compile lazily on first use and are cached. Validation (and
+        # early stopping) stays at the config's base image_size so val_loss
+        # is comparable across epochs. Params are resolution-independent
+        # (fully convolutional), so checkpoints/resume are unaffected.
+        multi_scale = kwargs.get("multi_scale")
+        ms_sizes, ms_mode = None, "cycle"
+        if multi_scale:
+            ms_conf = ({"sizes": list(multi_scale)}
+                       if isinstance(multi_scale, (list, tuple))
+                       else dict(multi_scale))
+            ms_sizes = [int(s) for s in ms_conf["sizes"]]
+            ms_mode = ms_conf.get("mode", "cycle")
+            if ms_mode not in ("cycle", "random"):
+                raise ValueError(f"multi_scale mode must be cycle|random, got {ms_mode!r}")
+            max_stride = image_size // min(grid_sizes)
+            bad = [s for s in ms_sizes if s % max_stride or s <= 0]
+            if bad:
+                raise ValueError(
+                    f"multi_scale sizes {bad} not divisible by the model's "
+                    f"max stride {max_stride}")
+            log.info(f"multi_scale: sizes {ms_sizes} ({ms_mode})")
+
+        _ms_cache = {}
+
+        def ms_pipeline(size):
+            """(train_step, ds_train) for one multi-scale size (lazy, cached)."""
+            if size == image_size:
+                return train_step, ds_train
+            if size not in _ms_cache:
+                (ds_s, _), _ = create_dataset(
+                    dataset_config, size, max_bboxes, classes_name_file,
+                    max_dataset_examples)
+                _ms_cache[size] = (build_train_step(size), ds_s)
+            return _ms_cache[size]
+
+        def ms_size_for(epoch):
+            if ms_mode == "random":
+                # keyed by epoch (not a stateful RNG) so resume picks the
+                # same size sequence it would have without the restart
+                r = np.random.RandomState(kwargs.get("seed", 0) * 100003 + epoch)
+                return ms_sizes[int(r.randint(len(ms_sizes)))]
+            return ms_sizes[(epoch - 1) % len(ms_sizes)]
+
+        train_state = init_train_state(params, bn_state, optimizer,
+                                       ema=ema_conf is not None)
         verbose = training_mode == "eager_tf"
 
         # full-state resume (params + BN stats + optimizer moments + step) —
@@ -271,6 +348,7 @@ class Train:
         from ..io.resolve import native_path
 
         state_path = native_path(output_checkpoints_path).replace(".npz", ".train_state.npz")
+        ema_path = native_path(output_checkpoints_path).replace(".npz", ".ema.npz")
         start_epoch = 1
         # Multi-host: checkpoints are written by process 0 only, so the
         # resume DECISION and the restored state must both come from
@@ -286,7 +364,24 @@ class Train:
                 np.asarray(do_resume and is_main)))
         if do_resume:
             if not multiproc or is_main:
-                train_state, saved_epoch = load_checkpoint(state_path, like=train_state)
+                # the core state (params/BN/opt/step) loads strictly; the EMA
+                # subtree is allowed to be absent (resuming a pre-EMA run
+                # with `ema:` newly enabled) — it reseeds from the restored
+                # weights rather than failing or silently dropping opt state
+                like_core = {k: v for k, v in train_state.items() if k != "ema"}
+                restored, saved_epoch = load_checkpoint(state_path, like=like_core)
+                if "ema" in train_state:
+                    try:
+                        ema_tree, _ = load_checkpoint(
+                            state_path, like={"ema": train_state["ema"]})
+                        restored["ema"] = ema_tree["ema"]
+                    except ValueError:
+                        restored["ema"] = jax.tree.map(
+                            jnp.array, {"params": restored["params"],
+                                        "bn_state": restored["bn_state"]})
+                        log.info("resume: checkpoint has no EMA state; "
+                                 "seeded EMA from the restored weights")
+                train_state = restored
                 start_epoch = int(saved_epoch or 0) + 1
             if multiproc:
                 # non-main processes receive process 0's restored state
@@ -321,14 +416,19 @@ class Train:
                 train_state = {**train_state,
                                "opt_state": opt_state._replace(hyperparams=hp)}
                 log.info(f"epoch {epoch}: learning_rate {cur_lr:.6g}")
+            epoch_step, epoch_ds = train_step, ds_train
+            if ms_sizes:
+                size = ms_size_for(epoch)
+                log.info(f"epoch {epoch}: multi_scale image_size {size}")
+                epoch_step, epoch_ds = ms_pipeline(size)
             t0 = time.time()
             nbatches = 0
             with trace(profile_trace_dir if epoch == start_epoch else None):
                 for images, labels in DevicePrefetcher(
-                    Batcher(ds_train, batch_size), sharding=sharding, put=put
+                    Batcher(epoch_ds, batch_size), sharding=sharding, put=put
                 ):
                     with timer:
-                        train_state, metrics = train_step(train_state, images, labels)
+                        train_state, metrics = epoch_step(train_state, images, labels)
                     nbatches += 1
                     if verbose:
                         self._log_metrics(epoch, "train", nbatches - 1, cur_lr, metrics)
@@ -344,13 +444,21 @@ class Train:
                 save_weights(spec, train_state["params"], train_state["bn_state"],
                              output_checkpoints_path, step=epoch)
                 save_checkpoint(state_path, train_state, step=epoch)
+                if "ema" in train_state:
+                    save_weights(spec, train_state["ema"]["params"],
+                                 train_state["ema"]["bn_state"], ema_path, step=epoch)
 
-            # validation pass (train.py:80-91)
+            # validation pass (train.py:80-91). With `ema.use_for_validation`
+            # the pass (and thus early stopping + best-weights restore) runs
+            # on the EMA shadow — the weights one would actually serve.
+            val_src = (train_state["ema"]
+                       if ema_conf and ema_conf.get("use_for_validation")
+                       else train_state)
             val_losses = []
             for batch_i, (images, labels) in enumerate(
                 DevicePrefetcher(Batcher(ds_val, batch_size), sharding=sharding, put=put)
             ):
-                metrics = eval_step(train_state["params"], train_state["bn_state"], images, labels)
+                metrics = eval_step(val_src["params"], val_src["bn_state"], images, labels)
                 val_losses.append(float(metrics["total_loss"]))
                 if verbose:
                     self._log_metrics(epoch, "val", batch_i, cur_lr, metrics)
@@ -362,7 +470,7 @@ class Train:
                 if val_loss < best_val:
                     best_val = val_loss
                     best_weights = jax.tree.map(lambda x: np.asarray(x),
-                                                (train_state["params"], train_state["bn_state"]))
+                                                (val_src["params"], val_src["bn_state"]))
                     patience_left = early_stop_patience
                 else:
                     patience_left -= 1
@@ -384,6 +492,9 @@ class Train:
             save_weights(spec, train_state["params"], train_state["bn_state"],
                          output_checkpoints_path, step=last_epoch)
             save_checkpoint(state_path, train_state, step=last_epoch)
+            if "ema" in train_state:
+                save_weights(spec, train_state["ema"]["params"],
+                             train_state["ema"]["bn_state"], ema_path, step=last_epoch)
         if timer.durations:
             log.info(f"step timing: {timer.stats()}")
         return train_state

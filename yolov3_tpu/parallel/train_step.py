@@ -66,17 +66,43 @@ def epoch_learning_rate(base_lr: float, epoch: int, epochs: int,
     return base_lr * (min_frac + (1.0 - min_frac) * cos)
 
 
-def init_train_state(params, state, optimizer):
+def init_train_state(params, state, optimizer, ema: bool = False):
     # own fresh buffers: the jitted step donates the train state, which
     # would otherwise invalidate the caller's (params, state) arrays
     params = jax.tree.map(jnp.array, params)
     state = jax.tree.map(jnp.array, state)
-    return {
+    ts = {
         "params": params,
         "bn_state": state,
         "opt_state": optimizer.init(params),
         "step": jnp.zeros((), jnp.int32),
     }
+    if ema:
+        # EMA shadow of everything serving needs (params + BN statistics),
+        # seeded at the initial weights
+        ts["ema"] = {
+            "params": jax.tree.map(jnp.array, params),
+            "bn_state": jax.tree.map(jnp.array, state),
+        }
+    return ts
+
+
+def ema_update(ema, new, decay, step, warmup: bool = True):
+    """One exponential-moving-average step over a pytree.
+
+    With ``warmup`` the effective decay is ``min(decay, (1+t)/(10+t))`` —
+    tf.train.ExponentialMovingAverage's num_updates ramp — so early steps
+    track the fast-moving young weights instead of the random init.
+    ``step`` is the number of completed updates BEFORE this one (0-based).
+    """
+    d = jnp.asarray(decay, jnp.float32)
+    if warmup:
+        t = step.astype(jnp.float32)
+        d = jnp.minimum(d, (1.0 + t) / (10.0 + t))
+    return jax.tree.map(
+        lambda e, n: (e + (1.0 - d) * (n.astype(e.dtype) - e)).astype(e.dtype),
+        ema, new,
+    )
 
 
 def _loss_and_metrics(spec, params, bn_state, images, labels, anchors_table,
@@ -123,7 +149,8 @@ def _loss_and_metrics(spec, params, bn_state, images, labels, anchors_table,
 def make_train_step(spec, anchors_table, grid_sizes, batch_size,
                     optimizer, mesh=None, bn_frozen=(), trainable_mask=None,
                     compute_dtype=None, remat=False, augment=None, seed=0,
-                    accum_steps: int = 1, qat: bool = False):
+                    accum_steps: int = 1, qat: bool = False,
+                    ema_decay=None, ema_warmup: bool = True):
     """Returns step(train_state, images, labels) → (train_state, metrics).
 
     ``trainable_mask``: optional pytree of bools matching params — False
@@ -137,6 +164,9 @@ def make_train_step(spec, anchors_table, grid_sizes, batch_size,
     capacity (activations are per-microbatch; BN statistics too, so
     BN behaves like microbatch-local BN — same caveat as any
     grad-accumulation scheme).
+    ``ema_decay``: maintain an exponential moving average of params + BN
+    statistics in ``train_state["ema"]`` (init_train_state(ema=True)),
+    updated inside the same jit — two fused axpy sweeps, no extra passes.
     """
     anchors_table = jnp.asarray(anchors_table, jnp.float32)
     grid_sizes = tuple(int(g) for g in grid_sizes)
@@ -219,6 +249,11 @@ def make_train_step(spec, anchors_table, grid_sizes, batch_size,
             "opt_state": new_opt_state,
             "step": train_state["step"] + 1,
         }
+        if ema_decay is not None:
+            new_train_state["ema"] = ema_update(
+                train_state["ema"], {"params": new_params, "bn_state": new_bn},
+                ema_decay, train_state["step"], warmup=ema_warmup,
+            )
         return new_train_state, metrics
 
     if mesh is None:
