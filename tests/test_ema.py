@@ -188,3 +188,81 @@ def test_ema_validation_monitoring(workdir):
         os.chdir(cwd)
     assert os.path.exists(f"{workdir}/ema_val.tf.npz")
     assert os.path.exists(f"{workdir}/ema_val.tf.ema.npz")
+
+
+def test_ema_scalar_shorthand_and_validation(workdir, caplog):
+    """`ema: 0.97` is honored as the decay; out-of-range / non-numeric
+    values raise instead of silently training with the default."""
+    import logging
+
+    from yolov3_tpu.apps.train_app import Train
+
+    cfg = _train_cfg(workdir, "ema_scalar", ema=0.97)
+    bad_cfgs = [_train_cfg(workdir, "ema_bad", ema=bad)
+                for bad in ({"decay": 1.5}, {"decay": -0.1}, "0.9")]
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        with caplog.at_level(logging.INFO):
+            Train()(**cfg)
+        assert any("ema: decay 0.97" in r.getMessage() for r in caplog.records)
+
+        for bad_cfg in bad_cfgs:
+            with pytest.raises(ValueError, match="ema"):
+                Train()(**bad_cfg)
+    finally:
+        os.chdir(cwd)
+
+
+def test_early_stop_restores_best_into_ema_shadow(workdir, monkeypatch):
+    """With use_for_validation, early stopping restores the best snapshot
+    into the EMA shadow: the final .ema.npz equals the best-epoch EMA
+    (bit-identical to a run stopped at that epoch), while the RAW params
+    stay the last-epoch weights, coherent with the saved optimizer moments
+    (a later resume must not continue from averaged weights)."""
+    import yolov3_tpu.apps.train_app as train_app_mod
+    from yolov3_tpu.apps.train_app import Train
+    from yolov3_tpu.io.checkpoint import load_checkpoint
+
+    # scripted validation: every call reports a strictly WORSE loss, so
+    # epoch 1 is the best epoch and patience=1 stops the run at epoch 2 —
+    # deterministic, no lr tuning (eval has no effect on the weights)
+    calls = {"n": 0}
+
+    def fake_make_eval_step(*a, **k):
+        def eval_step(params, bn_state, images, labels):
+            calls["n"] += 1
+            return {"total_loss": float(calls["n"])}
+        return eval_step
+
+    monkeypatch.setattr(train_app_mod, "make_eval_step", fake_make_eval_step)
+
+    ema = {"decay": 0.5, "use_for_validation": True, "warmup": False}
+    cfg_ref = _train_cfg(workdir, "ema_best_ref", epochs=1, ema=ema)
+    cfg_es = _train_cfg(workdir, "ema_best", epochs=4, early_stopping=True,
+                        early_stop_patience=1, ema=ema)
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        Train()(**cfg_ref)
+        state = Train()(**cfg_es)
+    finally:
+        os.chdir(cwd)
+    stopped_epoch = int(np.asarray(state["step"])) // 4  # 4 steps/epoch
+    assert stopped_epoch == 2, "early stopping should trigger at epoch 2"
+
+    ref_ema, _ = load_checkpoint(f"{workdir}/ema_best_ref.tf.ema.npz")
+    got_ema, _ = load_checkpoint(f"{workdir}/ema_best.tf.ema.npz")
+    got_raw, _ = load_checkpoint(f"{workdir}/ema_best.tf.npz")
+    k = lambda t: t["params"]["backbone"]["layer1"]["kernel"]
+    # best epoch was 1 → the shadow was restored to the epoch-1 EMA, which
+    # is bit-identical to the 1-epoch run's final EMA (same seed/data/jit)
+    np.testing.assert_array_equal(k(got_ema), k(ref_ema))
+    # raw weights are NOT the averaged ones (resume coherence)
+    assert not np.allclose(k(got_raw), k(got_ema))
+
+    # the train state resumes strictly (structure intact after the restore)
+    st, _ = load_checkpoint(
+        f"{workdir}/ema_best.tf.train_state.npz",
+        like={k_: v for k_, v in state.items()})
+    assert "ema" in st

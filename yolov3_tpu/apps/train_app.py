@@ -239,8 +239,18 @@ class Train:
         # input_weights_path at it to serve the averaged weights.
         ema_conf = kwargs.get("ema")
         if ema_conf:
-            ema_conf = dict(ema_conf) if isinstance(ema_conf, dict) else {}
+            if isinstance(ema_conf, dict):
+                ema_conf = dict(ema_conf)
+            elif isinstance(ema_conf, float):  # shorthand: `ema: 0.9995`
+                ema_conf = {"decay": ema_conf}
+            elif ema_conf is True:
+                ema_conf = {}
+            else:
+                raise ValueError(
+                    f"ema must be true, a decay float, or a dict, got {ema_conf!r}")
             ema_decay = float(ema_conf.get("decay", 0.9999))
+            if not 0.0 <= ema_decay <= 1.0:
+                raise ValueError(f"ema decay must be in [0, 1], got {ema_decay}")
             log.info(f"ema: decay {ema_decay}"
                      + (", used for validation/early-stopping"
                         if ema_conf.get("use_for_validation") else ""))
@@ -309,8 +319,12 @@ class Train:
             ms_mode = ms_conf.get("mode", "cycle")
             if ms_mode not in ("cycle", "random"):
                 raise ValueError(f"multi_scale mode must be cycle|random, got {ms_mode!r}")
-            max_stride = image_size // min(grid_sizes)
-            bad = [s for s in ms_sizes if s % max_stride or s <= 0]
+            # derive the model's max stride at a power-of-two probe size:
+            # the base image_size itself may not be stride-aligned, and
+            # SAME-padding ceil would then give a wrong divisor
+            probe = 2048
+            max_stride = probe // min(head_grid_sizes(spec, probe))
+            bad = [s for s in ms_sizes if s <= 0 or s % max_stride]
             if bad:
                 raise ValueError(
                     f"multi_scale sizes {bad} not divisible by the model's "
@@ -367,20 +381,23 @@ class Train:
                 # the core state (params/BN/opt/step) loads strictly; the EMA
                 # subtree is allowed to be absent (resuming a pre-EMA run
                 # with `ema:` newly enabled) — it reseeds from the restored
-                # weights rather than failing or silently dropping opt state
-                like_core = {k: v for k, v in train_state.items() if k != "ema"}
-                restored, saved_epoch = load_checkpoint(state_path, like=like_core)
-                if "ema" in train_state:
-                    try:
-                        ema_tree, _ = load_checkpoint(
-                            state_path, like={"ema": train_state["ema"]})
-                        restored["ema"] = ema_tree["ema"]
-                    except ValueError:
-                        restored["ema"] = jax.tree.map(
-                            jnp.array, {"params": restored["params"],
-                                        "bn_state": restored["bn_state"]})
-                        log.info("resume: checkpoint has no EMA state; "
-                                 "seeded EMA from the restored weights")
+                # weights rather than failing or silently dropping opt state.
+                # Presence is probed from the zip directory (no array reads)
+                # so the multi-hundred-MB state file is decompressed once.
+                from ..io.checkpoint import checkpoint_keys
+
+                want_ema = "ema" in train_state
+                have_ema = want_ema and any(
+                    k.startswith("ema/") for k in checkpoint_keys(state_path))
+                like = (train_state if have_ema else
+                        {k: v for k, v in train_state.items() if k != "ema"})
+                restored, saved_epoch = load_checkpoint(state_path, like=like)
+                if want_ema and not have_ema:
+                    restored["ema"] = jax.tree.map(
+                        jnp.array, {"params": restored["params"],
+                                    "bn_state": restored["bn_state"]})
+                    log.info("resume: checkpoint has no EMA state; "
+                             "seeded EMA from the restored weights")
                 train_state = restored
                 start_epoch = int(saved_epoch or 0) + 1
             if multiproc:
@@ -480,9 +497,18 @@ class Train:
                             # restore best weights INTO the train state so the
                             # final save below persists them (not the worse
                             # last-epoch weights) — Keras EarlyStopping
-                            # restore_best_weights semantics (train.py:209-212)
+                            # restore_best_weights semantics (train.py:209-212).
+                            # When validation monitored the EMA shadow, the
+                            # best snapshot IS an EMA snapshot: restore it into
+                            # the shadow (so <ckpt>.ema.npz serves the best
+                            # weights) and leave the raw params coherent with
+                            # the optimizer moments for resume.
                             p, s = jax.tree.map(jnp.asarray, best_weights)
-                            train_state = dict(train_state, params=p, bn_state=s)
+                            if ema_conf and ema_conf.get("use_for_validation"):
+                                train_state = dict(
+                                    train_state, ema={"params": p, "bn_state": s})
+                            else:
+                                train_state = dict(train_state, params=p, bn_state=s)
                         break
 
         # final save so short runs always leave a checkpoint (the reference

@@ -56,6 +56,14 @@ def save_checkpoint(path: str, tree, step: int | None = None):
             os.unlink(tmp)
 
 
+def checkpoint_keys(path: str):
+    """Array key names in a native checkpoint WITHOUT loading the arrays
+    (np.load on a zip is lazy until a key is indexed) — cheap presence
+    checks on multi-hundred-MB train states."""
+    with np.load(path, allow_pickle=False) as z:
+        return [k for k in z.files if k != _MANIFEST_KEY]
+
+
 def load_checkpoint(path: str, like=None, partial: bool = False):
     """Load a native checkpoint. With ``like`` (a template pytree), leaves are
     restored into the template's structure; otherwise a nested dict is built
