@@ -127,3 +127,22 @@ def test_multi_scale_rejects_bad_mode(workdir):
             Train()(**cfg)
     finally:
         os.chdir(cwd)
+
+
+def test_shuffle_with_multiscale_e2e(workdir, caplog):
+    """`shuffle: true` composes with multi-scale (the per-epoch shuffled
+    view wraps the per-size dataset) and trains end-to-end."""
+    from yolov3_tpu.apps.train_app import Train
+
+    cfg = _train_cfg(workdir, "ms_shuffle", multi_scale=[64, 96],
+                     shuffle=True)
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        with caplog.at_level(logging.INFO):
+            Train()(**cfg)
+    finally:
+        os.chdir(cwd)
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("shuffle: buffer 1024" in m for m in msgs)
+    assert os.path.exists(f"{workdir}/ms_shuffle.tf.npz")

@@ -75,3 +75,37 @@ def test_compilation_cache_disabled_values():
 
     for v in (False, None, "", "0", "false", "no", "OFF", " False "):
         assert enable_compilation_cache(v) is None
+
+
+def _ids(ds):
+    return [int(np.asarray(img)[0, 0, 0]) for img, _ in ds]
+
+
+def test_shuffled_is_permutation_and_deterministic():
+    from yolov3_tpu.data.pipeline import shuffled
+
+    ds = _ds(32)
+    a = _ids(shuffled(ds, buffer_size=8, seed=7))
+    b = _ids(shuffled(ds, buffer_size=8, seed=7))
+    c = _ids(shuffled(ds, buffer_size=8, seed=8))
+    assert sorted(a) == list(range(32))  # every example exactly once
+    assert a == b                        # same seed → same order
+    assert a != c                        # epoch-keyed seeds → fresh order
+    assert a != list(range(32))          # actually shuffled
+
+
+def test_shuffled_small_buffer_window():
+    """tf.data shuffle semantics: with buffer k an example can move at most
+    ~k positions earlier, so a buffer-1 shuffle is the identity."""
+    from yolov3_tpu.data.pipeline import shuffled
+
+    assert _ids(shuffled(_ds(16), buffer_size=1, seed=0)) == list(range(16))
+    with pytest.raises(ValueError, match="buffer_size"):
+        shuffled(_ds(4), buffer_size=0, seed=0)
+
+
+def test_shuffled_restartable():
+    from yolov3_tpu.data.pipeline import shuffled
+
+    ds = shuffled(_ds(12), buffer_size=4, seed=3)
+    assert _ids(ds) == _ids(ds)  # re-iteration replays the same order

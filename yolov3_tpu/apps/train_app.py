@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import count_file_lines, get_anchors
-from ..data.pipeline import Batcher, DevicePrefetcher, create_dataset
+from ..data.pipeline import Batcher, DevicePrefetcher, create_dataset, shuffled
 from ..models import parse_model_config, init_model
 from ..models.network import head_grid_sizes, param_count
 from ..models.transfer import do_transfer_learning
@@ -352,6 +352,18 @@ class Train:
                 return ms_sizes[int(r.randint(len(ms_sizes)))]
             return ms_sizes[(epoch - 1) % len(ms_sizes)]
 
+        # train-split shuffling (extension, off by default — the reference's
+        # tf.data pipelines never shuffle): `shuffle: true` (buffer 1024) or
+        # `shuffle: {buffer: N}`; tf.data buffer-shuffle semantics, epoch-
+        # keyed (data/pipeline.py::shuffled)
+        shuffle_conf = kwargs.get("shuffle")
+        if shuffle_conf:
+            shuffle_buffer = int(shuffle_conf.get("buffer", 1024)
+                                 if isinstance(shuffle_conf, dict) else 1024)
+            log.info(f"shuffle: buffer {shuffle_buffer}")
+        else:
+            shuffle_buffer = 0
+
         train_state = init_train_state(params, bn_state, optimizer,
                                        ema=ema_conf is not None)
         verbose = training_mode == "eager_tf"
@@ -438,6 +450,14 @@ class Train:
                 size = ms_size_for(epoch)
                 log.info(f"epoch {epoch}: multi_scale image_size {size}")
                 epoch_step, epoch_ds = ms_pipeline(size)
+            if shuffle_buffer:
+                # epoch-keyed seed: fresh order each epoch, identical
+                # sequence across an interrupted+resumed run. Multi-host
+                # processes share the seed, so every process sees the SAME
+                # global order and local_batch_slice stays consistent.
+                epoch_ds = shuffled(
+                    epoch_ds, shuffle_buffer,
+                    kwargs.get("seed", 0) * 1000003 + epoch)
             t0 = time.time()
             nbatches = 0
             with trace(profile_trace_dir if epoch == start_epoch else None):

@@ -94,6 +94,37 @@ def create_dataset(dataset_config, image_size, max_bboxes, classes_name_file,
     return datasets, sizes
 
 
+def shuffled(dataset: "Dataset", buffer_size: int, seed: int) -> "Dataset":
+    """Buffer-shuffled view of a dataset (tf.data ``Dataset.shuffle``
+    semantics: a reservoir of ``buffer_size`` examples, each yield swaps a
+    uniformly-random slot with the next incoming example). Deterministic
+    for a given seed — the train app keys the seed by (run seed, epoch) so
+    every epoch gets a fresh order and an interrupted+resumed run sees the
+    same order a straight-through run sees.
+
+    The reference never shuffles (its tf.data pipelines carry no
+    .shuffle call) — this is an extension, off by default.
+    """
+    if buffer_size < 1:
+        raise ValueError(f"shuffle buffer_size must be >= 1, got {buffer_size}")
+
+    def gen():
+        rng = np.random.RandomState(seed & 0x7FFFFFFF)
+        buf = []
+        for ex in dataset:
+            if len(buf) < buffer_size:
+                buf.append(ex)
+                continue
+            i = rng.randint(buffer_size)
+            out = buf[i]
+            buf[i] = ex
+            yield out
+        while buf:
+            yield buf.pop(rng.randint(len(buf)))
+
+    return Dataset(gen, size=dataset.size)
+
+
 class Batcher:
     """Stack examples into fixed-size batches; drop_remainder is mandatory
     (static shapes — same reason as reference preprocess_dataset.py:123-127)."""
