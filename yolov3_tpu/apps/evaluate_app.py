@@ -38,7 +38,9 @@ def make_sweepable_predictor(spec, params, bn_state, anchors_table, nclasses,
                              yolo_max_boxes, mesh=None):
     """``mesh``: batch-sharded DP evaluation over all chips — the sweep
     thresholds are scalar kernel args (replicated), images shard on the
-    data axis, and the whole predict is per-image independent SPMD."""
+    data axis, and the whole predict is per-image independent SPMD. A 2-D
+    (data × spatial) mesh additionally shards image height (GSPMD conv
+    spatial partitioning with halo exchanges — mesh.py)."""
     run_params = fold_batch_norm(params, bn_state)
     anchors = jnp.asarray(anchors_table, jnp.float32)
 
@@ -55,13 +57,13 @@ def make_sweepable_predictor(spec, params, bn_state, anchors_table, nclasses,
 
     if mesh is None:
         return predict
-    from ..parallel.mesh import batch_sharding
+    from ..parallel.mesh import image_sharding
 
-    data = batch_sharding(mesh)
+    data = image_sharding(mesh)
 
     def sharded_predict(images, iou_threshold, score_threshold,
                         num_candidates=DEFAULT_NUM_CANDIDATES):
-        # committing the batch to the data axis makes jit compile the whole
+        # committing the batch to the mesh makes jit compile the whole
         # sweep SPMD (sharding propagates; thresholds replicate as scalars)
         return predict(jax.device_put(jnp.asarray(images), data),
                        iou_threshold, score_threshold,
@@ -101,10 +103,11 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
     params, bn_state = load_weights(spec, params, bn_state, detect_config["input_weights_path"])
 
     mesh = None
-    if detect_config.get("data_parallel"):
+    spatial = int(detect_config.get("spatial_partitioning") or 1)
+    if detect_config.get("data_parallel") or spatial > 1:
         from ..parallel.mesh import make_data_parallel_mesh
 
-        mesh = make_data_parallel_mesh(batch_size)
+        mesh = make_data_parallel_mesh(batch_size, spatial=spatial)
 
     predict = make_sweepable_predictor(spec, params, bn_state, anchors_table,
                                        nclasses, yolo_max_boxes, mesh=mesh)

@@ -44,12 +44,18 @@ def make_predictor(spec, params, bn_state, anchors_table, nclasses,
                    image_size=None):
     """Build the fused forward+decode+NMS jitted function.
 
-    ``mesh``: a ``jax.sharding.Mesh`` for batch-sharded data-parallel
-    serving — params replicate, the image batch shards over the mesh's
-    data axis, and every pipeline stage (convs, decode, NMS, gather) is
+    ``mesh``: a ``jax.sharding.Mesh`` for sharded serving — params
+    replicate and the image batch shards over the mesh's data axis. With a
+    1-D data mesh every pipeline stage (convs, decode, NMS, gather) is
     per-image independent, so XLA compiles a collective-free SPMD program
-    (linear scale-out over ICI). The device count must divide the batch
-    size (e.g. 8 chips, batch 128).
+    (linear scale-out over ICI); the data-axis size must divide the batch
+    size (e.g. 8 chips, batch 128). A 2-D (data × spatial) mesh
+    additionally shards image HEIGHT over the spatial axis
+    (mesh.py::image_sharding): GSPMD splits every conv spatially and
+    inserts halo exchanges over ICI — the way to put several chips on ONE
+    image (B=1 latency, beyond-HBM resolutions). Outputs stay sharded on
+    data only (decode/NMS mix rows, so XLA gathers the spatial shards
+    where the dataflow first requires it).
 
     ``quantize='int8'`` enables the int8 PTQ serving tier: per-channel
     weights, calibrated per-tensor activation scales (validate mAP for your
@@ -96,11 +102,12 @@ def make_predictor(spec, params, bn_state, anchors_table, nclasses,
 
     if mesh is None:
         return jax.jit(predict_fn)
-    from ..parallel.mesh import batch_sharding
+    from ..parallel.mesh import batch_sharding, image_sharding
 
     data = batch_sharding(mesh)
-    # every output of yolo_nms is batch-leading → shard them all on data
-    return jax.jit(predict_fn, in_shardings=data,
+    # every output of yolo_nms is batch-leading → shard them all on data;
+    # inputs also split H over a 'spatial' mesh axis when one is present
+    return jax.jit(predict_fn, in_shardings=image_sharding(mesh),
                    out_shardings=(data, data, data, data, data))
 
 
@@ -134,6 +141,7 @@ class Inference:
         quantize=None,
         compute_precision=None,
         data_parallel=False,
+        spatial_partitioning=1,
         **kwargs,
     ):
         from ..utils.compile_cache import enable_from_env_or_config
@@ -185,16 +193,20 @@ class Inference:
             calibration_batches = [np.stack(calib_images)]
 
         mesh = None
-        if data_parallel:
-            if input_data_source != "tfrecords":
+        spatial_partitioning = int(spatial_partitioning or 1)
+        if data_parallel or spatial_partitioning > 1:
+            if data_parallel and input_data_source != "tfrecords":
                 # image_file / images_dir predict one image at a time — a
-                # batch-sharded jit would reject the (1, H, W, 3) input
+                # batch-sharded jit would reject the (1, H, W, 3) input.
+                # (spatial_partitioning alone IS valid there: with the data
+                # axis collapsed to 1 the whole mesh works on each image.)
                 raise ValueError(
                     "data_parallel requires input_data_source: tfrecords "
                     "(batched input); image_file/images_dir predict per-image")
             from ..parallel.mesh import make_data_parallel_mesh
 
-            mesh = make_data_parallel_mesh(batch_size)
+            eff_batch = batch_size if input_data_source == "tfrecords" else 1
+            mesh = make_data_parallel_mesh(eff_batch, spatial=spatial_partitioning)
 
         predict = make_predictor(
             spec, params, bn_state, anchors_table, nclasses,

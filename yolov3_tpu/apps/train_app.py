@@ -31,7 +31,7 @@ from ..data.pipeline import Batcher, DevicePrefetcher, create_dataset, shuffled
 from ..models import parse_model_config, init_model
 from ..models.network import head_grid_sizes, param_count
 from ..models.transfer import do_transfer_learning
-from ..parallel.mesh import batch_sharding, make_mesh
+from ..parallel.mesh import batch_sharding, image_sharding, make_mesh
 from ..parallel.train_step import init_train_state, make_adam, make_eval_step, make_train_step
 from ..io.resolve import load_weights, save_weights
 
@@ -206,13 +206,42 @@ class Train:
             )
             log.info("render_dataset_example: wrote dataset_example.png")
 
-        # --- mesh: data-parallel over all devices when batch divides ---
+        # --- mesh: data-parallel over all devices when batch divides;
+        # `spatial_partitioning: N` (extension) makes it 2-D (data × spatial)
+        # — image rows shard over the spatial axis and GSPMD partitions every
+        # conv spatially with halo exchanges (parallel/mesh.py). Use it when
+        # the per-chip batch can't fill the chip (small B, huge images).
         ndev = jax.device_count()
         mesh = None
-        if ndev > 1 and batch_size % ndev == 0:
+        spatial = int(kwargs.get("spatial_partitioning") or 1)
+        if spatial > 1:
+            if multihost:
+                raise ValueError("spatial_partitioning is single-host (ICI) only")
+            if ndev % spatial:
+                raise ValueError(
+                    f"spatial_partitioning ({spatial}) must divide the "
+                    f"device count ({ndev})")
+            if batch_size % (ndev // spatial):
+                raise ValueError(
+                    f"batch_size ({batch_size}) must divide over the data "
+                    f"axis ({ndev // spatial} = {ndev} devices / spatial {spatial})")
+            ms = kwargs.get("multi_scale")
+            ms_sizes = ms.get("sizes", []) if isinstance(ms, dict) else (ms or [])
+            sizes = [image_size] + [int(v) for v in ms_sizes]
+            bad = [v for v in sizes if v % spatial]
+            if bad:
+                raise ValueError(
+                    f"image sizes {bad} not divisible by spatial_partitioning "
+                    f"({spatial}) — row shards must be equal")
+            mesh = make_mesh(spatial=spatial)
+            log.info(f"data×spatial parallel over {ndev} devices "
+                     f"(mesh {dict(zip(mesh.axis_names, mesh.devices.shape))})")
+        elif ndev > 1 and batch_size % ndev == 0:
             mesh = make_mesh()
             log.info(f"data-parallel over {ndev} devices (mesh axes {mesh.axis_names})")
-        sharding = batch_sharding(mesh) if mesh is not None else None
+        # (images, labels) shard differently: images may split H spatially
+        sharding = ((image_sharding(mesh), batch_sharding(mesh))
+                    if mesh is not None else None)
 
         # multi-host: every process iterates the SAME deterministic dataset
         # and contributes only its contiguous slice of each global batch
@@ -228,8 +257,8 @@ class Train:
 
             def put(batch):
                 return tuple(
-                    jax.make_array_from_process_local_data(sharding, np.asarray(x)[sl])
-                    for x in batch)
+                    jax.make_array_from_process_local_data(sh, np.asarray(x)[sl])
+                    for sh, x in zip(sharding, batch))
 
         # EMA shadow weights (extension; the reference has no equivalent):
         # `ema: true` or `ema: {decay: 0.9999, warmup: true,

@@ -24,7 +24,7 @@ from jax import lax
 from ..models.network import apply_model, l2_regularization
 from ..ops.assign import assign_targets
 from ..ops.loss import yolo_loss_terms
-from .mesh import batch_sharding, replicated_sharding
+from .mesh import batch_sharding, image_sharding, replicated_sharding
 
 
 def make_adam(learning_rate: float) -> optax.GradientTransformation:
@@ -261,9 +261,11 @@ def make_train_step(spec, anchors_table, grid_sizes, batch_size,
 
     data = batch_sharding(mesh)
     repl = replicated_sharding(mesh)
+    # images additionally shard H over a 'spatial' mesh axis when present
+    # (mesh.py: GSPMD spatial partitioning); labels/targets stay batch-only
     return jax.jit(
         step,
-        in_shardings=(repl, data, data),
+        in_shardings=(repl, image_sharding(mesh), data),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
@@ -285,4 +287,5 @@ def make_eval_step(spec, anchors_table, grid_sizes, batch_size, mesh=None, bn_fr
         return jax.jit(step)
     data = batch_sharding(mesh)
     repl = replicated_sharding(mesh)
-    return jax.jit(step, in_shardings=(repl, repl, data, data), out_shardings=repl)
+    return jax.jit(step, in_shardings=(repl, repl, image_sharding(mesh), data),
+                   out_shardings=repl)
