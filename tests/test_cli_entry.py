@@ -23,7 +23,8 @@ def test_entry_points_declared(repo_root):
         proj = tomllib.load(f)
     scripts = proj["project"]["scripts"]
     assert set(scripts) == {"yolov3-tpu-train", "yolov3-tpu-infer",
-                            "yolov3-tpu-evaluate", "yolov3-tpu-convert"}
+                            "yolov3-tpu-evaluate", "yolov3-tpu-convert",
+                            "yolov3-tpu-serve"}
     for target in scripts.values():
         mod, fn = target.split(":")
         assert mod == "yolov3_tpu.apps.cli" and hasattr(cli, fn)

@@ -1,0 +1,244 @@
+"""Batching detection server (apps/serve_app.py): dynamic batcher unit
+tests + a live ThreadingHTTPServer end-to-end check on CPU.
+
+New capability — the reference has no serving path (its inference.py is a
+batch CLI, reference inference.py:52-188)."""
+
+import io
+import json
+import os
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from yolov3_tpu.apps.serve_app import DynamicBatcher, Serve
+from yolov3_tpu.io.resolve import save_weights
+from yolov3_tpu.models import init_model, parse_model_config
+
+IMAGE_SIZE = 96
+
+
+# ---------------------------------------------------------------- batcher
+
+def _fake_factory(calls):
+    """Predictor factory returning a deterministic nms-shaped tuple and
+    recording (bucket, runtime batch) per call."""
+
+    def factory(bucket):
+        def fn(x):
+            calls.append((bucket, x.shape[0]))
+            n = x.shape[0]
+            boxes = np.tile(np.array([[0.1, 0.2, 0.3, 0.4]], np.float32), (n, 5, 1))
+            cls = np.zeros((n, 5), np.int32)
+            # per-image marker: score = mean pixel value, so each request
+            # can verify it got ITS image's result back, not a neighbor's
+            sc = np.tile(x.mean(axis=(1, 2, 3))[:, None], (1, 5)).astype(np.float32)
+            sel = np.tile(np.arange(5)[None], (n, 1)).astype(np.int32)
+            nv = np.full((n,), 2, np.int32)
+            return boxes, cls, sc, sel, nv
+
+        return fn
+
+    return factory
+
+
+def test_batcher_groups_pads_and_demuxes():
+    calls = []
+    batcher = DynamicBatcher(_fake_factory(calls), [1, 4], batch_timeout_ms=250)
+    try:
+        results = [None] * 3
+
+        def worker(i):
+            results[i] = batcher.submit(np.full((8, 8, 3), i + 1, np.float32))
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, (bb, cc, ss) in enumerate(results):
+            assert bb.shape == (2, 4)  # num_valid=2 rows gathered
+            assert np.allclose(ss, i + 1)  # demuxed to the right requester
+        # 3 concurrent requests + generous follower window → one padded
+        # bucket-4 launch (padding never produces extra per-image results)
+        assert calls == [(4, 4)]
+    finally:
+        batcher.shutdown()
+
+
+def test_batcher_single_request_uses_smallest_bucket():
+    calls = []
+    batcher = DynamicBatcher(_fake_factory(calls), [1, 4], batch_timeout_ms=1)
+    try:
+        batcher.submit(np.zeros((8, 8, 3), np.float32))
+        assert calls == [(1, 1)]
+    finally:
+        batcher.shutdown()
+
+
+def test_batcher_propagates_predictor_errors():
+    def factory(bucket):
+        def fn(x):
+            raise RuntimeError("device fell over")
+
+        return fn
+
+    batcher = DynamicBatcher(factory, [1], batch_timeout_ms=1)
+    try:
+        with pytest.raises(RuntimeError, match="device fell over"):
+            batcher.submit(np.zeros((8, 8, 3), np.float32))
+    finally:
+        batcher.shutdown()
+
+
+def test_batcher_rejects_bad_buckets():
+    with pytest.raises(ValueError):
+        DynamicBatcher(_fake_factory([]), [])
+    with pytest.raises(ValueError):
+        DynamicBatcher(_fake_factory([]), [0, 4])
+
+
+# ------------------------------------------------------------- live server
+
+@pytest.fixture(scope="module")
+def server(repo_root, toy_dataset, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    cwd = os.getcwd()
+    os.chdir(repo_root)
+    try:
+        spec = parse_model_config("config/models/yolov3_tiny/model.yaml", nclasses=3)
+    finally:
+        os.chdir(cwd)
+    params, bn_state = init_model(jax.random.PRNGKey(0), spec)
+    weights = str(tmp / "serve_weights")
+    save_weights(spec, params, bn_state, weights)
+
+    httpd, app = Serve()(
+        model_config_file=os.path.join(repo_root, "config/models/yolov3_tiny/model.yaml"),
+        classes_name_file=os.path.join(toy_dataset, "class.names"),
+        anchors_file=os.path.join(toy_dataset, "anchors/anchors_tiny.txt"),
+        input_weights_path=weights,
+        image_size=IMAGE_SIZE,
+        yolo_max_boxes=10,
+        nms_iou_threshold=0.5,
+        nms_score_threshold=0.05,
+        host="127.0.0.1",
+        port=0,  # ephemeral
+        batch_buckets=[1, 2],
+        batch_timeout_ms=1,
+        warmup=True,
+        serve_forever=False,
+    )
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield url, app
+    httpd.shutdown()
+    app.shutdown()
+    thread.join(timeout=5)
+
+
+def _png_bytes(rng, h=70, w=90):
+    arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue(), arr
+
+
+def _post(url, data):
+    req = urllib.request.Request(f"{url}/detect", data=data, method="POST")
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return json.loads(resp.read())
+
+
+def test_detect_endpoint(server):
+    url, app = server
+    png, arr = _png_bytes(np.random.RandomState(0))
+    body = _post(url, png)
+    assert body["width"] == arr.shape[1] and body["height"] == arr.shape[0]
+    assert isinstance(body["detections"], list)
+    for det in body["detections"]:
+        assert det["class_name"] in ("circle", "square", "triangle")
+        x1n, y1n, x2n, y2n = det["box_normalized"]
+        x1, y1, x2, y2 = det["box"]
+        # pixel boxes are the normalized boxes scaled to the ORIGINAL size
+        assert x1 == pytest.approx(x1n * arr.shape[1], abs=1e-3)
+        assert y2 == pytest.approx(y2n * arr.shape[0], abs=1e-3)
+    # HTTP result identical to the in-process pipeline on the same bytes
+    direct = app.detect(png)
+    assert len(direct["detections"]) == len(body["detections"])
+    for a, b in zip(direct["detections"], body["detections"]):
+        assert a["class_id"] == b["class_id"]
+        assert a["score"] == pytest.approx(b["score"], abs=1e-6)
+        assert np.allclose(a["box_normalized"], b["box_normalized"], atol=1e-6)
+
+
+def test_detect_matches_inference_predictor(server, repo_root, toy_dataset):
+    """The server's detections == the inference CLI's fused predictor on
+    the same preprocessed image (serving is a transport, not a new model
+    path)."""
+    from yolov3_tpu.apps.inference_app import gather_valid_detections
+    from yolov3_tpu.data.image import decode_image, resize_bilinear
+
+    url, app = server
+    png, _ = _png_bytes(np.random.RandomState(1))
+    body = _post(url, png)
+
+    image = resize_bilinear(
+        decode_image(png).astype(np.float32) / 255.0, IMAGE_SIZE, IMAGE_SIZE)
+    out = app.batcher.predictor(1)(image[None])
+    bboxes, class_idx, scores, selected, num_valid = map(np.asarray, out)
+    bb, cc, ss = gather_valid_detections(
+        bboxes[0], class_idx[0], scores[0], selected[0], num_valid[0])
+    assert len(body["detections"]) == len(bb)
+    for det, box, cls, score in zip(body["detections"], bb, cc, ss):
+        assert det["class_id"] == int(cls)
+        assert det["score"] == pytest.approx(float(score), abs=1e-6)
+        assert np.allclose(det["box_normalized"], box, atol=1e-6)
+
+
+def test_concurrent_requests_batched(server):
+    url, app = server
+    rng = np.random.RandomState(2)
+    pngs = [_png_bytes(rng)[0] for _ in range(4)]
+    results = [None] * 4
+
+    def worker(i):
+        results[i] = _post(url, pngs[i])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r is not None for r in results)
+    stats = json.loads(urllib.request.urlopen(f"{url}/stats", timeout=30).read())
+    assert stats["requests"] >= 4
+    assert stats["latency_ms"]["p50"] is not None
+    # batch histogram exists (grouping itself is timing-dependent on 1 core)
+    assert sum(stats["batch_histogram"].values()) >= 1
+
+
+def test_healthz_and_errors(server):
+    url, app = server
+    health = json.loads(urllib.request.urlopen(f"{url}/healthz", timeout=30).read())
+    assert health["status"] == "ok"
+    assert health["image_size"] == IMAGE_SIZE
+    assert health["batch_buckets"] == [1, 2]
+    assert health["classes"] == 3
+
+    # non-image body → 400, counted in stats
+    req = urllib.request.Request(f"{url}/detect", data=b"not an image", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(req, timeout=30)
+    assert err.value.code == 400
+
+    # unknown path → 404
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(f"{url}/nope", timeout=30)
+    assert err.value.code == 404

@@ -63,3 +63,16 @@ def convert_main(argv=None) -> None:
     from .convert_app import convert
 
     convert(_load(args.config))
+
+
+def serve_main(argv=None) -> None:
+    parser = argparse.ArgumentParser(prog="yolov3-tpu-serve")
+    parser.add_argument("--config", type=str, default="config/serve_config.yaml",
+                        help="yaml config file")
+    args = parser.parse_args(argv)
+    import logging
+
+    logging.basicConfig(level=logging.INFO)
+    from .serve_app import Serve
+
+    Serve()(**_load(args.config))

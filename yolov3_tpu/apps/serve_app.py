@@ -1,0 +1,432 @@
+"""Batching detection server — the production serving path.
+
+The reference has no serving story (its ``inference.py`` is a batch CLI,
+reference inference.py:52-188); a production deployment needs an online
+endpoint. This app wraps the SAME fused forward+decode+NMS program that
+``inference_app.make_predictor`` compiles (so every serving tier — bf16,
+int8 PTQ, S2D stem, DP/SP meshes — is available unchanged) behind an HTTP
+server with **dynamic batching**:
+
+  * XLA programs have static shapes, so the server pre-declares a small
+    ladder of batch "buckets" (``batch_buckets: [1, 4, 16]``) and compiles
+    one program per bucket (lazily, or at startup with ``warmup: true``).
+  * Incoming requests queue up; a single dispatcher thread drains the
+    queue, waits at most ``batch_timeout_ms`` for followers, zero-pads the
+    group to the smallest bucket that fits, runs ONE device program, and
+    fans the per-image results back to the waiting handler threads.
+    One thread owns the device → no dispatch contention; handler threads
+    only do host-side JPEG decode/resize (parallel, pure numpy/PIL).
+  * Tail padding is free correctness-wise: every pipeline stage is
+    per-image independent (same argument as DP serving).
+
+Endpoints:
+  * ``POST /detect``  — body = JPEG/PNG bytes → JSON detections (class id,
+    name, score, box in original-image pixels + normalized xyxy).
+  * ``GET /healthz``  — liveness + model/device info.
+  * ``GET /stats``    — request counters, batch-size histogram, latency
+    percentiles (measured enqueue→result, i.e. including batching delay).
+
+Preprocessing matches the reference's ``image_file`` input mode (plain
+square resize, /255 — reference inference.py:148-158), so a request's
+detections are exactly what the inference CLI would print for that file.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import queue
+import threading
+import time
+from collections import deque
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+MAX_BODY_BYTES = 32 * 1024 * 1024  # reject absurd uploads before decoding
+
+
+class _Request:
+    __slots__ = ("image", "event", "result", "error", "enqueue_t")
+
+    def __init__(self, image):
+        self.image = image
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+        self.enqueue_t = time.monotonic()
+
+
+class ServerStats:
+    """Thread-safe request/batch/latency counters for ``GET /stats``."""
+
+    def __init__(self, window: int = 1024):
+        self._lock = threading.Lock()
+        self.requests = 0
+        self.errors = 0
+        self.batches = {}  # real group size -> count
+        self.latencies_ms = deque(maxlen=window)
+
+    def record_request(self, latency_ms: float):
+        with self._lock:
+            self.requests += 1
+            self.latencies_ms.append(latency_ms)
+
+    def record_error(self):
+        with self._lock:
+            self.errors += 1
+
+    def record_batch(self, n_real: int):
+        with self._lock:
+            self.batches[n_real] = self.batches.get(n_real, 0) + 1
+
+    def snapshot(self, queue_depth: int = 0) -> dict:
+        with self._lock:
+            lat = sorted(self.latencies_ms)
+            pct = (lambda p: round(lat[min(len(lat) - 1, int(p * len(lat)))], 3)) if lat else (lambda p: None)
+            return {
+                "requests": self.requests,
+                "errors": self.errors,
+                "batch_histogram": {str(k): v for k, v in sorted(self.batches.items())},
+                "latency_ms": {
+                    "p50": pct(0.50), "p90": pct(0.90), "p99": pct(0.99),
+                    "mean": round(sum(lat) / len(lat), 3) if lat else None,
+                },
+                "queue_depth": queue_depth,
+            }
+
+
+class DynamicBatcher:
+    """Groups concurrent requests into one compiled device program.
+
+    ``predictor_factory(bucket)`` must return a callable taking a
+    ``(bucket, H, W, 3)`` float32 array and returning the ``yolo_nms``
+    tuple ``(bboxes, class_idx, scores, selected, num_valid)``. Compiled
+    predictors are cached per bucket; only the dispatcher thread touches
+    the device.
+    """
+
+    def __init__(self, predictor_factory, batch_buckets, batch_timeout_ms=5.0,
+                 stats: ServerStats | None = None):
+        if not batch_buckets:
+            raise ValueError("batch_buckets must be non-empty")
+        self.buckets = sorted(set(int(b) for b in batch_buckets))
+        if self.buckets[0] < 1:
+            raise ValueError(f"batch buckets must be >= 1, got {self.buckets}")
+        self.timeout_s = float(batch_timeout_ms) / 1e3
+        self.stats = stats or ServerStats()
+        self._factory = predictor_factory
+        self._predictors = {}
+        self._queue: queue.Queue[_Request] = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, name="yolov3-batcher",
+                                        daemon=True)
+        self._thread.start()
+
+    # -- client side ------------------------------------------------------
+    def submit(self, image: np.ndarray, timeout: float = 60.0):
+        """Block until the image's detections are ready; returns the
+        per-image ``(bboxes, class_idx, scores)`` after valid-gather."""
+        if self._stop.is_set():
+            raise RuntimeError("batcher is shut down")
+        req = _Request(image)
+        self._queue.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("detection timed out")
+        if req.error is not None:
+            raise req.error
+        self.stats.record_request((time.monotonic() - req.enqueue_t) * 1e3)
+        return req.result
+
+    def shutdown(self, timeout: float = 10.0):
+        self._stop.set()
+        self._thread.join(timeout)
+
+    def queue_depth(self) -> int:
+        return self._queue.qsize()
+
+    # -- dispatcher side --------------------------------------------------
+    def predictor(self, bucket: int):
+        fn = self._predictors.get(bucket)
+        if fn is None:
+            fn = self._predictors[bucket] = self._factory(bucket)
+        return fn
+
+    def warmup(self, image_hw: tuple[int, int]):
+        """Compile every bucket up front (one zeros batch each)."""
+        h, w = image_hw
+        for b in self.buckets:
+            self.predictor(b)(np.zeros((b, h, w, 3), np.float32))
+
+    def _gather(self, batch):
+        """Collect up to max-bucket requests, waiting ``timeout_s`` past
+        the first arrival for followers."""
+        deadline = time.monotonic() + self.timeout_s
+        while len(batch) < self.buckets[-1]:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _loop(self):
+        while True:
+            try:
+                first = self._queue.get(timeout=0.05)
+            except queue.Empty:
+                if self._stop.is_set():
+                    return
+                continue
+            batch = self._gather([first])
+            bucket = next(b for b in self.buckets if b >= len(batch))
+            self.stats.record_batch(len(batch))
+            try:
+                images = np.stack([r.image for r in batch], axis=0)
+                if bucket > len(batch):
+                    pad = np.zeros((bucket - len(batch),) + images.shape[1:],
+                                   images.dtype)
+                    images = np.concatenate([images, pad], axis=0)
+                out = self.predictor(bucket)(images)
+                bboxes, class_idx, scores, selected, num_valid = map(np.asarray, out)
+                for i, req in enumerate(batch):
+                    sel = selected[i][: int(num_valid[i])]
+                    req.result = (bboxes[i][sel], class_idx[i][sel], scores[i][sel])
+            except Exception as exc:  # surface the failure to every waiter
+                log.exception("batch of %d failed", len(batch))
+                for req in batch:
+                    req.error = exc
+            finally:
+                for req in batch:
+                    req.event.set()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # the ThreadingHTTPServer instance carries the app state (see serve())
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # route access logs through logging
+        log.debug("%s %s", self.address_string(), fmt % args)
+
+    def _reply(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        app = self.server.app
+        if self.path == "/healthz":
+            self._reply(200, app.health())
+        elif self.path == "/stats":
+            self._reply(200, app.stats.snapshot(app.batcher.queue_depth()))
+        else:
+            self._reply(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):
+        app = self.server.app
+        if self.path != "/detect":
+            self._reply(404, {"error": f"unknown path {self.path}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+        except ValueError:
+            length = 0
+        if length <= 0:
+            self._reply(400, {"error": "missing request body (image bytes)"})
+            return
+        if length > MAX_BODY_BYTES:
+            self._reply(413, {"error": f"body exceeds {MAX_BODY_BYTES} bytes"})
+            return
+        data = self.rfile.read(length)
+        try:
+            result = app.detect(data)
+        except ValueError as exc:
+            app.stats.record_error()
+            self._reply(400, {"error": str(exc)})
+            return
+        except Exception as exc:  # device/batcher failure
+            app.stats.record_error()
+            self._reply(500, {"error": f"{type(exc).__name__}: {exc}"})
+            return
+        self._reply(200, result)
+
+
+class DetectionApp:
+    """Model state + request pipeline shared by all handler threads."""
+
+    def __init__(self, spec, params, bn_state, anchors_table, class_names,
+                 image_size, yolo_max_boxes, nms_iou_threshold,
+                 nms_score_threshold, quantize=None, compute_precision=None,
+                 calibration_batches=None, batch_buckets=(1, 4, 16),
+                 batch_timeout_ms=5.0, model_name="yolov3"):
+        import jax
+        import jax.numpy as jnp
+
+        from .inference_app import make_predictor
+
+        self.class_names = list(class_names)
+        self.image_size = int(image_size)
+        self.model_name = model_name
+        self.quantize = quantize
+        self.stats = ServerStats()
+        self._device = str(jax.devices()[0])
+
+        compute_dtype = {"bf16": jnp.bfloat16, "fp32": None, None: None}[compute_precision]
+
+        def factory(bucket):
+            fn = make_predictor(
+                spec, params, bn_state, anchors_table, len(self.class_names),
+                yolo_max_boxes, nms_iou_threshold, nms_score_threshold,
+                compute_dtype=compute_dtype, quantize=quantize,
+                calibration_batches=calibration_batches,
+                image_size=self.image_size)
+            log.info("compiling serving bucket B=%d", bucket)
+            return fn
+
+        self.batcher = DynamicBatcher(factory, batch_buckets, batch_timeout_ms,
+                                      stats=self.stats)
+
+    def health(self) -> dict:
+        return {
+            "status": "ok",
+            "model": self.model_name,
+            "device": self._device,
+            "image_size": self.image_size,
+            "classes": len(self.class_names),
+            "quantize": self.quantize,
+            "batch_buckets": self.batcher.buckets,
+        }
+
+    def detect(self, encoded_image: bytes) -> dict:
+        """Decode → square-resize → batched predict → JSON-able dict."""
+        from ..data.image import decode_image, resize_bilinear
+
+        t0 = time.monotonic()
+        try:
+            orig = decode_image(encoded_image).astype(np.float32) / 255.0
+        except Exception as exc:
+            raise ValueError(f"could not decode image: {exc}") from exc
+        h, w = orig.shape[:2]
+        image = resize_bilinear(orig, self.image_size, self.image_size)
+        bboxes, class_idx, scores = self.batcher.submit(image)
+        detections = []
+        for box, cls, score in zip(bboxes, class_idx, scores):
+            cls = int(cls)
+            x1, y1, x2, y2 = (float(v) for v in box)
+            detections.append({
+                "class_id": cls,
+                "class_name": self.class_names[cls] if 0 <= cls < len(self.class_names) else str(cls),
+                "score": float(score),
+                "box": [x1 * w, y1 * h, x2 * w, y2 * h],
+                "box_normalized": [x1, y1, x2, y2],
+            })
+        return {
+            "detections": detections,
+            "width": w,
+            "height": h,
+            "latency_ms": round((time.monotonic() - t0) * 1e3, 3),
+        }
+
+    def shutdown(self):
+        self.batcher.shutdown()
+
+
+def create_server(host, port, app: DetectionApp) -> ThreadingHTTPServer:
+    httpd = ThreadingHTTPServer((host, port), _Handler)
+    httpd.daemon_threads = True
+    httpd.app = app
+    return httpd
+
+
+class Serve:
+    """Config-driven entry point (``python serve.py --config …``).
+
+    Accepts the detect-config schema keys (model/weights/anchors/names/
+    NMS/quantize) plus the serving keys ``host``, ``port``,
+    ``batch_buckets``, ``batch_timeout_ms``, ``warmup``.
+    """
+
+    def __call__(
+        self,
+        model_config_file,
+        classes_name_file,
+        anchors_file,
+        input_weights_path,
+        image_size,
+        yolo_max_boxes=100,
+        nms_iou_threshold=0.5,
+        nms_score_threshold=0.3,
+        quantize=None,
+        compute_precision=None,
+        host="127.0.0.1",
+        port=8000,
+        batch_buckets=(1, 4, 16),
+        batch_timeout_ms=5.0,
+        warmup=True,
+        calibration_images_dir=None,
+        serve_forever=True,
+        **kwargs,
+    ):
+        import jax
+
+        from ..config import dir_filelist, get_anchors, read_class_names
+        from ..data.image import decode_image, resize_bilinear
+        from ..io.resolve import load_weights
+        from ..models import init_model, parse_model_config
+        from ..utils.compile_cache import enable_from_env_or_config
+
+        enable_from_env_or_config(kwargs.get("compilation_cache"))
+
+        anchors_table = get_anchors(anchors_file)
+        class_names = read_class_names(classes_name_file)
+        spec = parse_model_config(model_config_file, len(class_names))
+        params, bn_state = init_model(jax.random.PRNGKey(0), spec)
+        params, bn_state = load_weights(spec, params, bn_state, input_weights_path)
+
+        calibration_batches = None
+        if quantize in ("int8", "int8_chain"):
+            if not calibration_images_dir:
+                raise ValueError("quantize: int8 serving needs calibration_images_dir")
+            calib = []
+            for file in dir_filelist(calibration_images_dir,
+                                     (".jpeg", ".jpg", ".png", ".bmp"))[:8]:
+                with open(file, "rb") as f:
+                    img = decode_image(f.read()).astype(np.float32) / 255.0
+                calib.append(resize_bilinear(img, image_size, image_size))
+            if not calib:
+                raise ValueError(f"no calibration images in {calibration_images_dir}")
+            calibration_batches = [np.stack(calib)]
+
+        app = DetectionApp(
+            spec, params, bn_state, anchors_table, class_names, image_size,
+            yolo_max_boxes, nms_iou_threshold, nms_score_threshold,
+            quantize=quantize, compute_precision=compute_precision,
+            calibration_batches=calibration_batches,
+            batch_buckets=batch_buckets, batch_timeout_ms=batch_timeout_ms,
+            model_name=os.path.basename(os.path.dirname(model_config_file)) or "yolov3",
+        )
+        if warmup:
+            t0 = time.monotonic()
+            app.batcher.warmup((image_size, image_size))
+            log.info("warmup compiled %s in %.1fs", app.batcher.buckets,
+                     time.monotonic() - t0)
+
+        httpd = create_server(host, int(port), app)
+        log.info("serving on http://%s:%d (POST /detect)", host, httpd.server_address[1])
+        if serve_forever:
+            try:
+                httpd.serve_forever()
+            except KeyboardInterrupt:
+                pass
+            finally:
+                httpd.shutdown()
+                app.shutdown()
+        return httpd, app

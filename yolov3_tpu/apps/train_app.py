@@ -463,6 +463,18 @@ class Train:
         from ..utils.profiling import StepTimer, trace
 
         timer = StepTimer(images_per_step=batch_size)
+        # TensorBoard scalars (extension — the reference's TensorBoard
+        # callback is commented out at train.py:200-204). `tensorboard:
+        # <logdir>` or `true` (→ ./tb_logs); pure-Python event writer,
+        # main process only. One device fetch per epoch (last-step train
+        # metrics) — never a per-step sync.
+        tb_writer = None
+        tb_conf = kwargs.get("tensorboard")
+        if tb_conf and is_main:
+            from ..utils.tb import SummaryWriter
+
+            tb_writer = SummaryWriter(tb_conf if isinstance(tb_conf, str) else "tb_logs")
+            log.info(f"tensorboard: writing scalars to {tb_writer.path}")
         cur_lr = learning_rate
         for epoch in range(start_epoch, epochs + 1):
             last_epoch = epoch
@@ -505,6 +517,16 @@ class Train:
                 f"epoch {epoch}: {nbatches} steps in {dt:.2f}s "
                 f"({nbatches * batch_size / dt:.1f} img/s)"
             )
+            if tb_writer:
+                scalars = {
+                    "train/total_loss": float(metrics["total_loss"]),
+                    "train/images_per_sec": nbatches * batch_size / dt,
+                    "train/learning_rate": float(cur_lr),
+                }
+                for name, v in zip(("xy", "wh", "obj", "class"),
+                                   np.asarray(metrics["per_source"])):
+                    scalars[f"train/loss_{name}"] = float(v)
+                tb_writer.add_scalars(scalars, step=epoch)
 
             if epoch % weights_save_peroid == 0 and is_main:
                 save_weights(spec, train_state["params"], train_state["bn_state"],
@@ -530,6 +552,9 @@ class Train:
                     self._log_metrics(epoch, "val", batch_i, cur_lr, metrics)
             if val_losses:
                 log.info(f"epoch {epoch}: val_loss {float(np.mean(val_losses)):.4f}")
+                if tb_writer:
+                    tb_writer.add_scalar("val/total_loss",
+                                         float(np.mean(val_losses)), step=epoch)
 
             if early_stopping and val_losses:
                 val_loss = float(np.mean(val_losses))
@@ -570,6 +595,8 @@ class Train:
             if "ema" in train_state:
                 save_weights(spec, train_state["ema"]["params"],
                              train_state["ema"]["bn_state"], ema_path, step=last_epoch)
+        if tb_writer:
+            tb_writer.close()
         if timer.durations:
             log.info(f"step timing: {timer.stats()}")
         return train_state
