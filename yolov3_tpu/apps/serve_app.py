@@ -281,15 +281,20 @@ class DetectionApp:
 
         compute_dtype = {"bf16": jnp.bfloat16, "fp32": None, None: None}[compute_precision]
 
+        # ONE predictor shared by every bucket: jax.jit retraces per batch
+        # shape anyway, and building it once means calibration/quantization
+        # run once and a single (possibly int8) params copy lives on device
+        # instead of one per bucket.
+        predictor = make_predictor(
+            spec, params, bn_state, anchors_table, len(self.class_names),
+            yolo_max_boxes, nms_iou_threshold, nms_score_threshold,
+            compute_dtype=compute_dtype, quantize=quantize,
+            calibration_batches=calibration_batches,
+            image_size=self.image_size)
+
         def factory(bucket):
-            fn = make_predictor(
-                spec, params, bn_state, anchors_table, len(self.class_names),
-                yolo_max_boxes, nms_iou_threshold, nms_score_threshold,
-                compute_dtype=compute_dtype, quantize=quantize,
-                calibration_batches=calibration_batches,
-                image_size=self.image_size)
             log.info("compiling serving bucket B=%d", bucket)
-            return fn
+            return predictor
 
         self.batcher = DynamicBatcher(factory, batch_buckets, batch_timeout_ms,
                                       stats=self.stats)
