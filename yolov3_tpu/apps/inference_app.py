@@ -111,6 +111,53 @@ def make_predictor(spec, params, bn_state, anchors_table, nclasses,
                    out_shardings=(data, data, data, data, data))
 
 
+def calibration_batches_from_dir(images_dir, image_size, limit: int = 8):
+    """int8-calibration batches from a directory of images (square resize,
+    /255 — the ``image_file`` preprocessing). Shared by serve/export."""
+    calib = []
+    for file in dir_filelist(images_dir, (".jpeg", ".jpg", ".png", ".bmp"))[:limit]:
+        with open(file, "rb") as f:
+            img = decode_image(f.read()).astype(np.float32) / 255.0
+        calib.append(resize_bilinear(img, image_size, image_size))
+    if not calib:
+        raise ValueError(f"no calibration images in {images_dir}")
+    return [np.stack(calib)]
+
+
+def build_serving_predictor(model_config_file, classes_name_file, anchors_file,
+                            input_weights_path, image_size, yolo_max_boxes=100,
+                            nms_iou_threshold=0.5, nms_score_threshold=0.3,
+                            quantize=None, compute_precision=None,
+                            calibration_images_dir=None):
+    """Detect-config keys → ``(predictor, class_names, model_name)``.
+
+    The one-stop predictor constructor shared by ``serve.py`` and
+    ``utilities/export_serving_artifact.py``: parse model, load weights,
+    calibrate int8 if asked, and return the fused jitted program.
+    """
+    anchors_table = get_anchors(anchors_file)
+    class_names = read_class_names(classes_name_file)
+    spec = parse_model_config(model_config_file, len(class_names))
+    params, bn_state = init_model(jax.random.PRNGKey(0), spec)
+    params, bn_state = load_weights(spec, params, bn_state, input_weights_path)
+
+    calibration_batches = None
+    if quantize in ("int8", "int8_chain"):
+        if not calibration_images_dir:
+            raise ValueError(f"quantize: {quantize} needs calibration_images_dir")
+        calibration_batches = calibration_batches_from_dir(
+            calibration_images_dir, image_size)
+
+    compute_dtype = {"bf16": jnp.bfloat16, "fp32": None, None: None}[compute_precision]
+    predictor = make_predictor(
+        spec, params, bn_state, anchors_table, len(class_names),
+        yolo_max_boxes, nms_iou_threshold, nms_score_threshold,
+        compute_dtype=compute_dtype, quantize=quantize,
+        calibration_batches=calibration_batches, image_size=image_size)
+    model_name = os.path.basename(os.path.dirname(model_config_file)) or "yolov3"
+    return predictor, class_names, model_name
+
+
 def gather_valid_detections(bboxes, class_indices, scores, selected, num_valid):
     """reference inference.py:21-28."""
     sel = selected[: int(num_valid)]

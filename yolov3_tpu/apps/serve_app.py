@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import json
 import logging
-import os
 import queue
 import threading
 import time
@@ -260,17 +259,15 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 class DetectionApp:
-    """Model state + request pipeline shared by all handler threads."""
+    """Request pipeline shared by all handler threads, wrapping ONE ready
+    predictor (a ``make_predictor`` result or a loaded AOT artifact's
+    ``predict``). One predictor serves every bucket: jax.jit retraces per
+    batch shape, and a single (possibly int8) params copy lives on device."""
 
-    def __init__(self, spec, params, bn_state, anchors_table, class_names,
-                 image_size, yolo_max_boxes, nms_iou_threshold,
-                 nms_score_threshold, quantize=None, compute_precision=None,
-                 calibration_batches=None, batch_buckets=(1, 4, 16),
-                 batch_timeout_ms=5.0, model_name="yolov3"):
+    def __init__(self, predictor, class_names, image_size,
+                 batch_buckets=(1, 4, 16), batch_timeout_ms=5.0,
+                 model_name="yolov3", quantize=None):
         import jax
-        import jax.numpy as jnp
-
-        from .inference_app import make_predictor
 
         self.class_names = list(class_names)
         self.image_size = int(image_size)
@@ -278,19 +275,6 @@ class DetectionApp:
         self.quantize = quantize
         self.stats = ServerStats()
         self._device = str(jax.devices()[0])
-
-        compute_dtype = {"bf16": jnp.bfloat16, "fp32": None, None: None}[compute_precision]
-
-        # ONE predictor shared by every bucket: jax.jit retraces per batch
-        # shape anyway, and building it once means calibration/quantization
-        # run once and a single (possibly int8) params copy lives on device
-        # instead of one per bucket.
-        predictor = make_predictor(
-            spec, params, bn_state, anchors_table, len(self.class_names),
-            yolo_max_boxes, nms_iou_threshold, nms_score_threshold,
-            compute_dtype=compute_dtype, quantize=quantize,
-            calibration_batches=calibration_batches,
-            image_size=self.image_size)
 
         def factory(bucket):
             log.info("compiling serving bucket B=%d", bucket)
@@ -357,15 +341,21 @@ class Serve:
     Accepts the detect-config schema keys (model/weights/anchors/names/
     NMS/quantize) plus the serving keys ``host``, ``port``,
     ``batch_buckets``, ``batch_timeout_ms``, ``warmup``.
+
+    Alternatively ``artifact: <path>`` serves a prebuilt AOT artifact
+    (``utilities/export_serving_artifact.py``): the compiled program and
+    weights come from the artifact zip, the model/weights/anchors/NMS keys
+    are not needed (NMS parameters are baked into the exported program and
+    cannot be overridden here).
     """
 
     def __call__(
         self,
-        model_config_file,
-        classes_name_file,
-        anchors_file,
-        input_weights_path,
-        image_size,
+        model_config_file=None,
+        classes_name_file=None,
+        anchors_file=None,
+        input_weights_path=None,
+        image_size=None,
         yolo_max_boxes=100,
         nms_iou_threshold=0.5,
         nms_score_threshold=0.3,
@@ -377,46 +367,42 @@ class Serve:
         batch_timeout_ms=5.0,
         warmup=True,
         calibration_images_dir=None,
+        artifact=None,
         serve_forever=True,
         **kwargs,
     ):
-        import jax
-
-        from ..config import dir_filelist, get_anchors, read_class_names
-        from ..data.image import decode_image, resize_bilinear
-        from ..io.resolve import load_weights
-        from ..models import init_model, parse_model_config
         from ..utils.compile_cache import enable_from_env_or_config
 
         enable_from_env_or_config(kwargs.get("compilation_cache"))
 
-        anchors_table = get_anchors(anchors_file)
-        class_names = read_class_names(classes_name_file)
-        spec = parse_model_config(model_config_file, len(class_names))
-        params, bn_state = init_model(jax.random.PRNGKey(0), spec)
-        params, bn_state = load_weights(spec, params, bn_state, input_weights_path)
+        if artifact:
+            from ..export.aot import load_detector_artifact
 
-        calibration_batches = None
-        if quantize in ("int8", "int8_chain"):
-            if not calibration_images_dir:
-                raise ValueError("quantize: int8 serving needs calibration_images_dir")
-            calib = []
-            for file in dir_filelist(calibration_images_dir,
-                                     (".jpeg", ".jpg", ".png", ".bmp"))[:8]:
-                with open(file, "rb") as f:
-                    img = decode_image(f.read()).astype(np.float32) / 255.0
-                calib.append(resize_bilinear(img, image_size, image_size))
-            if not calib:
-                raise ValueError(f"no calibration images in {calibration_images_dir}")
-            calibration_batches = [np.stack(calib)]
+            predictor, manifest = load_detector_artifact(artifact)
+            class_names = manifest["class_names"]
+            image_size = int(manifest["image_size"])
+            quantize = manifest.get("quantize")
+            model_name = manifest.get("model_name", "yolov3")
+        else:
+            from .inference_app import build_serving_predictor
+
+            missing = [k for k, v in [("model_config_file", model_config_file),
+                                      ("classes_name_file", classes_name_file),
+                                      ("anchors_file", anchors_file),
+                                      ("input_weights_path", input_weights_path),
+                                      ("image_size", image_size)] if not v]
+            if missing:
+                raise ValueError(f"serve config needs {missing} (or artifact:)")
+            predictor, class_names, model_name = build_serving_predictor(
+                model_config_file, classes_name_file, anchors_file,
+                input_weights_path, image_size, yolo_max_boxes,
+                nms_iou_threshold, nms_score_threshold, quantize,
+                compute_precision, calibration_images_dir)
 
         app = DetectionApp(
-            spec, params, bn_state, anchors_table, class_names, image_size,
-            yolo_max_boxes, nms_iou_threshold, nms_score_threshold,
-            quantize=quantize, compute_precision=compute_precision,
-            calibration_batches=calibration_batches,
+            predictor, class_names, image_size,
             batch_buckets=batch_buckets, batch_timeout_ms=batch_timeout_ms,
-            model_name=os.path.basename(os.path.dirname(model_config_file)) or "yolov3",
+            model_name=model_name, quantize=quantize,
         )
         if warmup:
             t0 = time.monotonic()
