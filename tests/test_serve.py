@@ -224,6 +224,69 @@ def test_concurrent_requests_batched(server):
     assert sum(stats["batch_histogram"].values()) >= 1
 
 
+def test_serve_sharded_matches_unsharded(repo_root, toy_dataset, tmp_path):
+    """`spatial_partitioning: 8` (pure SP — every device works on each
+    image via GSPMD conv halo exchange) serves the same detections as the
+    single-device predictor; `data_parallel` bucket validation enforced."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 (virtual) devices")
+
+    from yolov3_tpu.apps.inference_app import (build_serving_predictor,
+                                               gather_valid_detections)
+    from yolov3_tpu.data.image import decode_image, resize_bilinear
+
+    cwd = os.getcwd()
+    os.chdir(repo_root)
+    try:
+        spec = parse_model_config("config/models/yolov3_tiny/model.yaml", nclasses=3)
+    finally:
+        os.chdir(cwd)
+    params, bn_state = init_model(jax.random.PRNGKey(1), spec)
+    weights = str(tmp_path / "sp_weights")
+    save_weights(spec, params, bn_state, weights)
+    cfg = dict(
+        model_config_file=os.path.join(repo_root, "config/models/yolov3_tiny/model.yaml"),
+        classes_name_file=os.path.join(toy_dataset, "class.names"),
+        anchors_file=os.path.join(toy_dataset, "anchors/anchors_tiny.txt"),
+        input_weights_path=weights,
+        image_size=IMAGE_SIZE,
+        yolo_max_boxes=10,
+        nms_iou_threshold=0.5,
+        nms_score_threshold=0.05,
+    )
+
+    httpd, app = Serve()(
+        **cfg, host="127.0.0.1", port=0, batch_buckets=[1, 2],
+        batch_timeout_ms=1, warmup=False, serve_forever=False,
+        spatial_partitioning=8,
+    )
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        png, _ = _png_bytes(np.random.RandomState(3))
+        body = _post(f"http://127.0.0.1:{httpd.server_address[1]}", png)
+
+        unsharded, _, _ = build_serving_predictor(**cfg)
+        image = resize_bilinear(
+            decode_image(png).astype(np.float32) / 255.0, IMAGE_SIZE, IMAGE_SIZE)
+        bb, cc, ss = gather_valid_detections(
+            *[np.asarray(o)[0] for o in unsharded(image[None])])
+        assert len(body["detections"]) == len(bb)
+        for det, box, cls, score in zip(body["detections"], bb, cc, ss):
+            assert det["class_id"] == int(cls)
+            assert det["score"] == pytest.approx(float(score), abs=1e-5)
+            assert np.allclose(det["box_normalized"], box, atol=1e-5)
+    finally:
+        httpd.shutdown()
+        app.shutdown()
+        thread.join(timeout=5)
+
+    # data_parallel with buckets not divisible by the data axis → rejected
+    with pytest.raises(ValueError, match="divisible"):
+        Serve()(**cfg, port=0, batch_buckets=[1, 2], warmup=False,
+                serve_forever=False, data_parallel=True)
+
+
 def test_healthz_and_errors(server):
     url, app = server
     health = json.loads(urllib.request.urlopen(f"{url}/healthz", timeout=30).read())

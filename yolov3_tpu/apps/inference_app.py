@@ -128,12 +128,13 @@ def build_serving_predictor(model_config_file, classes_name_file, anchors_file,
                             input_weights_path, image_size, yolo_max_boxes=100,
                             nms_iou_threshold=0.5, nms_score_threshold=0.3,
                             quantize=None, compute_precision=None,
-                            calibration_images_dir=None):
+                            calibration_images_dir=None, mesh=None):
     """Detect-config keys → ``(predictor, class_names, model_name)``.
 
     The one-stop predictor constructor shared by ``serve.py`` and
     ``utilities/export_serving_artifact.py``: parse model, load weights,
-    calibrate int8 if asked, and return the fused jitted program.
+    calibrate int8 if asked, and return the fused jitted program
+    (optionally sharded over ``mesh`` — see ``make_predictor``).
     """
     anchors_table = get_anchors(anchors_file)
     class_names = read_class_names(classes_name_file)
@@ -153,7 +154,8 @@ def build_serving_predictor(model_config_file, classes_name_file, anchors_file,
         spec, params, bn_state, anchors_table, len(class_names),
         yolo_max_boxes, nms_iou_threshold, nms_score_threshold,
         compute_dtype=compute_dtype, quantize=quantize,
-        calibration_batches=calibration_batches, image_size=image_size)
+        calibration_batches=calibration_batches, image_size=image_size,
+        mesh=mesh)
     model_name = os.path.basename(os.path.dirname(model_config_file)) or "yolov3"
     return predictor, class_names, model_name
 

@@ -368,6 +368,8 @@ class Serve:
         warmup=True,
         calibration_images_dir=None,
         artifact=None,
+        data_parallel=False,
+        spatial_partitioning=1,
         serve_forever=True,
         **kwargs,
     ):
@@ -375,7 +377,13 @@ class Serve:
 
         enable_from_env_or_config(kwargs.get("compilation_cache"))
 
+        spatial = int(spatial_partitioning or 1)
         if artifact:
+            if data_parallel or spatial > 1:
+                raise ValueError(
+                    "artifact serving is single-device (the exported program "
+                    "has no mesh); use the model keys for data_parallel / "
+                    "spatial_partitioning")
             from ..export.aot import load_detector_artifact
 
             predictor, manifest = load_detector_artifact(artifact)
@@ -393,11 +401,42 @@ class Serve:
                                       ("image_size", image_size)] if not v]
             if missing:
                 raise ValueError(f"serve config needs {missing} (or artifact:)")
+
+            # sharded serving (same semantics as the inference CLI): batch
+            # shards over the mesh's data axis — so EVERY bucket must
+            # divide by it — and `spatial_partitioning: N` additionally
+            # shards image rows (GSPMD conv halo exchange; pure SP with
+            # data=1 puts all chips on each single image → B=1 latency).
+            mesh = None
+            if data_parallel or spatial > 1:
+                import jax
+
+                from ..parallel.mesh import make_mesh
+
+                ndev = jax.device_count()
+                if ndev % spatial:
+                    raise ValueError(
+                        f"spatial_partitioning ({spatial}) must divide the "
+                        f"device count ({ndev})")
+                data_size = ndev // spatial
+                bad = [b for b in batch_buckets if int(b) % data_size]
+                if bad:
+                    raise ValueError(
+                        f"batch_buckets {bad} not divisible by the data-axis "
+                        f"size ({data_size} = {ndev} devices / spatial {spatial})")
+                if int(image_size) % spatial:
+                    raise ValueError(
+                        f"image_size ({image_size}) must be divisible by "
+                        f"spatial_partitioning ({spatial})")
+                mesh = make_mesh(spatial=spatial)
+                log.info("sharded serving over %d devices (mesh %s)", ndev,
+                         dict(zip(mesh.axis_names, mesh.devices.shape)))
+
             predictor, class_names, model_name = build_serving_predictor(
                 model_config_file, classes_name_file, anchors_file,
                 input_weights_path, image_size, yolo_max_boxes,
                 nms_iou_threshold, nms_score_threshold, quantize,
-                compute_precision, calibration_images_dir)
+                compute_precision, calibration_images_dir, mesh=mesh)
 
         app = DetectionApp(
             predictor, class_names, image_size,
