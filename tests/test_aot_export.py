@@ -144,6 +144,26 @@ def test_export_cli(tiny_setup, tmp_path):
         assert np.array_equal(np.asarray(g), np.asarray(w))
 
 
+def test_int8_tier_artifact_roundtrip(tiny_setup, toy_dataset, tmp_path):
+    """The flagship serving tier (int8 PTQ + S2D stem) exports and
+    reloads bit-exactly — quantized weights and calibrated scales are
+    baked into the artifact."""
+    _, cfg, _ = tiny_setup
+    cfg = dict(cfg, quantize="int8",
+               calibration_images_dir=os.path.join(toy_dataset, "coco", "images"))
+    predictor, class_names, _ = build_serving_predictor(**cfg)
+    exported = export_detector(predictor, IMAGE_SIZE, platforms=("cpu",))
+    artifact = str(tmp_path / "int8.yoloexp")
+    save_detector_artifact(artifact, exported, {
+        "image_size": IMAGE_SIZE, "class_names": list(class_names),
+        "quantize": "int8"})
+    loaded, manifest = load_detector_artifact(artifact)
+    assert manifest["quantize"] == "int8"
+    x = np.random.RandomState(3).rand(2, IMAGE_SIZE, IMAGE_SIZE, 3).astype(np.float32)
+    for g, w in zip(loaded(x), predictor(x)):
+        assert np.array_equal(np.asarray(g), np.asarray(w))
+
+
 def test_serve_from_artifact(tiny_setup):
     """serve.py's `artifact:` key — the server runs the deserialized
     program and returns the same detections as the live predictor."""

@@ -224,6 +224,27 @@ def test_concurrent_requests_batched(server):
     assert sum(stats["batch_histogram"].values()) >= 1
 
 
+def test_metrics_prometheus(server):
+    url, app = server
+    png, _ = _png_bytes(np.random.RandomState(4))
+    _post(url, png)  # ensure at least one request/batch/latency sample
+    resp = urllib.request.urlopen(f"{url}/metrics", timeout=30)
+    assert resp.headers["Content-Type"].startswith("text/plain")
+    text = resp.read().decode()
+    assert "# TYPE yolov3_requests_total counter" in text
+    metrics = {}
+    for line in text.splitlines():
+        if line and not line.startswith("#"):
+            name, value = line.rsplit(" ", 1)
+            metrics[name] = float(value)
+    assert metrics["yolov3_requests_total"] >= 1
+    assert metrics["yolov3_request_errors_total"] >= 0
+    assert metrics["yolov3_queue_depth"] == 0
+    assert 'yolov3_request_latency_ms{quantile="0.5"}' in metrics
+    assert sum(v for k, v in metrics.items()
+               if k.startswith("yolov3_batches_total")) >= 1
+
+
 def test_serve_sharded_matches_unsharded(repo_root, toy_dataset, tmp_path):
     """`spatial_partitioning: 8` (pure SP — every device works on each
     image via GSPMD conv halo exchange) serves the same detections as the

@@ -97,6 +97,37 @@ class ServerStats:
                 "queue_depth": queue_depth,
             }
 
+    def prometheus(self, queue_depth: int = 0) -> str:
+        """Render the counters in Prometheus text exposition format
+        (``GET /metrics`` — scrapeable by a stock Prometheus)."""
+        s = self.snapshot(queue_depth)
+        lines = [
+            "# HELP yolov3_requests_total Detection requests served.",
+            "# TYPE yolov3_requests_total counter",
+            f"yolov3_requests_total {s['requests']}",
+            "# HELP yolov3_request_errors_total Failed detection requests.",
+            "# TYPE yolov3_request_errors_total counter",
+            f"yolov3_request_errors_total {s['errors']}",
+            "# HELP yolov3_queue_depth Requests waiting for the batcher.",
+            "# TYPE yolov3_queue_depth gauge",
+            f"yolov3_queue_depth {s['queue_depth']}",
+            "# HELP yolov3_batches_total Device launches by real group size.",
+            "# TYPE yolov3_batches_total counter",
+        ]
+        lines += [f'yolov3_batches_total{{size="{k}"}} {v}'
+                  for k, v in s["batch_histogram"].items()]
+        lat = s["latency_ms"]
+        if lat["p50"] is not None:
+            lines += [
+                "# HELP yolov3_request_latency_ms Enqueue-to-result latency "
+                "(sliding window).",
+                "# TYPE yolov3_request_latency_ms summary",
+                f'yolov3_request_latency_ms{{quantile="0.5"}} {lat["p50"]}',
+                f'yolov3_request_latency_ms{{quantile="0.9"}} {lat["p90"]}',
+                f'yolov3_request_latency_ms{{quantile="0.99"}} {lat["p99"]}',
+            ]
+        return "\n".join(lines) + "\n"
+
 
 class DynamicBatcher:
     """Groups concurrent requests into one compiled device program.
@@ -226,6 +257,13 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(200, app.health())
         elif self.path == "/stats":
             self._reply(200, app.stats.snapshot(app.batcher.queue_depth()))
+        elif self.path == "/metrics":
+            body = app.stats.prometheus(app.batcher.queue_depth()).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self._reply(404, {"error": f"unknown path {self.path}"})
 
