@@ -129,6 +129,76 @@ def test_train_then_evaluate(workdir, trained_checkpoint):
     assert np.load(f"{workdir}/gts_0.1.npy").sum() > 0
 
 
+def test_evaluate_coco_export(workdir, trained_checkpoint):
+    """`coco_export_dir` writes the pycocotools interchange pair for the
+    LOWEST sweep threshold: detections.json (results list) +
+    ground_truth.json (COCO dataset dict), pixel xywh in the network-input
+    frame, category ids 1-based."""
+    import json
+
+    from yolov3_tpu.apps.evaluate_app import evaluate
+    from yolov3_tpu.data.tfrecord import parse_tfrecords
+
+    detect_cfg = yaml.safe_load(open("config/detect_config.yaml"))
+    detect_cfg["image_size"] = 96
+    detect_cfg["input_weights_path"] = os.path.abspath(trained_checkpoint)
+    for key in ("model_config_file", "tfrecords_dir", "classes_name_file", "anchors_file"):
+        detect_cfg[key] = os.path.abspath(detect_cfg[key])
+
+    n_images = 6
+    expected_gts = 0
+    for i, (_, lab) in enumerate(parse_tfrecords(
+            detect_cfg["tfrecords_dir"], 96, detect_cfg["yolo_max_boxes"],
+            detect_cfg["classes_name_file"])):
+        if i >= n_images:
+            break
+        expected_gts += int((lab[:, 4] != 0).sum())
+
+    export_dir = f"{workdir}/coco_export"
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        evaluate({"evaluate_nms_score_thresholds": [0.5, 0.1],
+                  "coco_export_dir": export_dir},
+                 detect_cfg, max_eval_images=n_images)
+    finally:
+        os.chdir(cwd)
+
+    gt = json.load(open(f"{export_dir}/ground_truth.json"))
+    dets = json.load(open(f"{export_dir}/detections.json"))
+    assert len(gt["images"]) == n_images
+    assert [c["name"] for c in gt["categories"]] == ["circle", "square", "triangle"]
+    assert len(gt["annotations"]) == expected_gts
+    image_ids = {im["id"] for im in gt["images"]}
+    for ann in gt["annotations"]:
+        assert ann["image_id"] in image_ids
+        assert 1 <= ann["category_id"] <= 3
+        x, y, w, h = ann["bbox"]
+        assert 0 <= x <= 96 and 0 <= y <= 96 and 0 < w <= 96 and 0 < h <= 96
+        assert ann["area"] == pytest.approx(w * h, abs=0.1)
+        assert ann["iscrowd"] == 0
+    # export is pinned to the LOWEST threshold of the sweep (max recall)
+    for det in dets:
+        assert det["image_id"] in image_ids
+        assert 1 <= det["category_id"] <= 3
+        assert det["score"] >= 0.1
+        assert len(det["bbox"]) == 4
+    # a trained toy model detects something at threshold 0.1
+    assert len(dets) > 0
+
+    # pycocotools cross-check when available (not in this image)
+    try:
+        from pycocotools.coco import COCO
+        from pycocotools.cocoeval import COCOeval
+    except ImportError:
+        return
+    coco_gt = COCO(f"{export_dir}/ground_truth.json")
+    coco_dt = coco_gt.loadRes(f"{export_dir}/detections.json")
+    ev = COCOeval(coco_gt, coco_dt, "bbox")
+    ev.evaluate(); ev.accumulate(); ev.summarize()
+    assert ev.stats[1] >= 0  # AP@0.5 computed without error
+
+
 def test_convert_roundtrip_app(workdir):
     import jax
     from yolov3_tpu.apps.convert_app import convert

@@ -86,6 +86,11 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
              evaluate_iou_threshold: float = 0.5, compute_map: bool = True,
              coco_map: bool = False):
     thresholds = evaluate_config["evaluate_nms_score_thresholds"]
+    # COCO interchange export (pycocotools interop) for the lowest sweep
+    # threshold — max recall, the right input for external re-scoring
+    # which sweeps score cutoffs itself (eval/coco_export.py)
+    coco_export_dir = evaluate_config.get("coco_export_dir")
+    export_threshold = min(thresholds) if coco_export_dir else None
 
     from ..utils.compile_cache import enable_from_env_or_config
 
@@ -149,6 +154,11 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
             ap_acc = CocoAPAccumulator(nclasses)
         elif compute_map:
             ap_acc = APAccumulator(nclasses, evaluate_iou_threshold)
+        exporter = None
+        if score_threshold == export_threshold:
+            from ..eval.coco_export import CocoExporter
+
+            exporter = CocoExporter(class_names, image_size)
 
         # exact-K policy: start at the default K and escalate whenever the
         # top-K truncation could have diverged from TF's full NMS — makes
@@ -191,6 +201,11 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
                 for i in np.where(real)[0]:
                     ap_acc.add_image(pb[i][pv[i]], pc[i][pv[i]], ps[i][pv[i]],
                                      gt_boxes[i][gt_valid[i]], gt_classes[i][gt_valid[i]])
+            if exporter is not None:
+                for i in np.where(real)[0]:
+                    exporter.add_image(pb[i][pv[i]], pc[i][pv[i]], ps[i][pv[i]],
+                                       gt_boxes[i][gt_valid[i]],
+                                       gt_classes[i][gt_valid[i]])
 
         recall, precision = evaluator.recall_precision()
         print("Results Bbox and Classes:")
@@ -217,6 +232,11 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
                 if not np.isnan(ap):
                     print(f"  AP[{name}]: {ap:.4f}")
         results.append(entry)
+
+        if exporter is not None:
+            det_path, gt_path = exporter.write(coco_export_dir)
+            print(f"COCO export ({len(exporter.images)} images, "
+                  f"score_threshold {score_threshold}): {det_path}, {gt_path}")
 
         np.save(f"preds_{score_threshold}", np.stack(evaluator.preds_histo))
         np.save(f"gts_{score_threshold}", np.stack(evaluator.gt_histo))
