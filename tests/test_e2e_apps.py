@@ -129,6 +129,57 @@ def test_train_then_evaluate(workdir, trained_checkpoint):
     assert np.load(f"{workdir}/gts_0.1.npy").sum() > 0
 
 
+def test_inference_video_mode(workdir, trained_checkpoint, toy_dataset):
+    """`input_data_source: video_file` (extension — the reference has no
+    video path): frames batch through the same compiled predictor, the
+    annotated stream lands in detect.mp4 at the source fps/size, detect.txt
+    gets one line per frame."""
+    cv2 = pytest.importorskip("cv2")
+    from yolov3_tpu.apps.inference_app import Inference
+    from yolov3_tpu.config import dir_filelist
+
+    files = dir_filelist(os.path.join(toy_dataset, "coco", "images"),
+                         (".jpg",))[:6]
+    assert len(files) == 6
+    frames = [cv2.imread(f) for f in files]
+    h, w = frames[0].shape[:2]
+    video_in = f"{workdir}/toy_in.mp4"
+    vw = cv2.VideoWriter(video_in, cv2.VideoWriter_fourcc(*"mp4v"), 5.0, (w, h))
+    assert vw.isOpened()
+    for fr in frames:
+        vw.write(fr)
+    vw.release()
+
+    cfg = yaml.safe_load(open("config/detect_config.yaml"))
+    cfg["image_size"] = 96
+    cfg["input_weights_path"] = trained_checkpoint
+    cfg["input_data_source"] = "video_file"
+    cfg["video_file_path"] = video_in
+    cfg["output_dir"] = f"{workdir}/detect_video"
+    results = Inference()(**cfg)
+
+    assert len(results) == 6  # one entry per frame, none for tail padding
+    lines = open(f"{workdir}/detect_video/detect.txt").readlines()
+    assert len(lines) == 6
+    # the toy shapes survive mp4 compression — the model must see them
+    assert any(len(names) > 0 for names, _, _ in results)
+
+    out = cv2.VideoCapture(f"{workdir}/detect_video/detect.mp4")
+    assert out.isOpened()
+    n = 0
+    while True:
+        ok, frame = out.read()
+        if not ok:
+            break
+        assert frame.shape == (h, w, 3)  # annotated at the SOURCE size
+        n += 1
+    out.release()
+    assert n == 6
+    # no per-frame jpgs in video mode
+    assert not [f for f in os.listdir(f"{workdir}/detect_video")
+                if f.startswith("detect_") and f.endswith(".jpg")]
+
+
 def test_evaluate_coco_export(workdir, trained_checkpoint):
     """`coco_export_dir` writes the pycocotools interchange pair for the
     LOWEST sweep threshold: detections.json (results list) +

@@ -160,6 +160,30 @@ def build_serving_predictor(model_config_file, classes_name_file, anchors_file,
     return predictor, class_names, model_name
 
 
+def _open_video(path):
+    """→ ``(capture, fps, (width, height))``; OpenCV decodes the container."""
+    import cv2
+
+    if not path:
+        raise ValueError("input_data_source: video_file needs video_file_path")
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise ValueError(f"cannot open video {path}")
+    fps = float(cap.get(cv2.CAP_PROP_FPS)) or 25.0
+    size = (int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+            int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)))
+    return cap, fps, size
+
+
+def _video_frames(cap):
+    """Yield RGB float32 [0,1] frames until the stream ends."""
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            return
+        yield frame[:, :, ::-1].astype(np.float32) / 255.0
+
+
 def gather_valid_detections(bboxes, class_indices, scores, selected, num_valid):
     """reference inference.py:21-28."""
     sel = selected[: int(num_valid)]
@@ -185,6 +209,7 @@ class Inference:
         nms_score_threshold,
         bbox_color,
         font_size,
+        video_file_path=None,
         display_result_images=None,
         save_model_path=None,
         quantize=None,
@@ -232,6 +257,16 @@ class Inference:
                     calib_images.append(img)
                     if len(calib_images) >= 8:
                         break
+            elif input_data_source == "video_file":
+                cap, _, _ = _open_video(video_file_path)
+                try:
+                    for frame in _video_frames(cap):
+                        calib_images.append(
+                            resize_bilinear(frame, image_size, image_size))
+                        if len(calib_images) >= 8:
+                            break
+                finally:
+                    cap.release()
             else:
                 files = ([image_file_path] if input_data_source == "image_file"
                          else dir_filelist(images_dir, (".jpeg", ".jpg", ".png", ".bmp"))[:8])
@@ -243,18 +278,20 @@ class Inference:
 
         mesh = None
         spatial_partitioning = int(spatial_partitioning or 1)
+        batched_sources = ("tfrecords", "video_file")
         if data_parallel or spatial_partitioning > 1:
-            if data_parallel and input_data_source != "tfrecords":
+            if data_parallel and input_data_source not in batched_sources:
                 # image_file / images_dir predict one image at a time — a
                 # batch-sharded jit would reject the (1, H, W, 3) input.
                 # (spatial_partitioning alone IS valid there: with the data
                 # axis collapsed to 1 the whole mesh works on each image.)
                 raise ValueError(
-                    "data_parallel requires input_data_source: tfrecords "
-                    "(batched input); image_file/images_dir predict per-image")
+                    "data_parallel requires a batched input_data_source "
+                    "(tfrecords/video_file); image_file/images_dir predict "
+                    "per-image")
             from ..parallel.mesh import make_data_parallel_mesh
 
-            eff_batch = batch_size if input_data_source == "tfrecords" else 1
+            eff_batch = batch_size if input_data_source in batched_sources else 1
             mesh = make_data_parallel_mesh(eff_batch, spatial=spatial_partitioning)
 
         predict = make_predictor(
@@ -268,9 +305,11 @@ class Inference:
         image_counter = 0
         results = []
 
-        def process(batch_images, raw_sizes=None, n_real=None):
+        def process(batch_images, raw_sizes=None, n_real=None, sink=None):
             """Run one compiled batch; render/write the first ``n_real``
-            images (tail batches arrive zero-padded to the compiled size)."""
+            images (tail batches arrive zero-padded to the compiled size).
+            ``sink(annotated_pil)`` overrides the per-image jpg save (video
+            mode streams annotated frames to a VideoWriter instead)."""
             nonlocal image_counter
             out = predict(jnp.asarray(batch_images))
             bboxes, class_idx, scores, selected, num_valid = map(np.asarray, out)
@@ -286,7 +325,10 @@ class Inference:
                     annotated = annotated.resize(raw_sizes[i])
                 outfile.write(f"{detections}\n")
                 outfile.flush()
-                annotated.save(f"{output_dir}/detect_{image_counter}.jpg")
+                if sink is None:
+                    annotated.save(f"{output_dir}/detect_{image_counter}.jpg")
+                else:
+                    sink(annotated)
                 image_counter += 1
                 results.append((names, bb, ss))
 
@@ -304,6 +346,43 @@ class Inference:
                 pad = batch_size - len(batch)
                 padded = np.stack(batch + [np.zeros_like(batch[0])] * pad)
                 process(padded, n_real=len(batch))
+        elif input_data_source == "video_file":
+            # video mode (extension — the reference has no video path):
+            # frames batch to the SAME compiled program as tfrecords mode
+            # (static batch_size, zero-padded tail), geometry matches the
+            # image_file path (plain square resize); annotated frames
+            # stream to <output_dir>/detect.mp4 at the source fps/size,
+            # detect.txt gets one tuple line per frame.
+            import cv2
+
+            cap, fps, vid_size = _open_video(video_file_path)
+            video_out = f"{output_dir}/detect.mp4"
+            writer = cv2.VideoWriter(
+                video_out, cv2.VideoWriter_fourcc(*"mp4v"), fps, vid_size)
+            if not writer.isOpened():
+                cap.release()
+                raise ValueError(f"cannot open video writer for {video_out}")
+
+            def sink(annotated):
+                writer.write(np.asarray(annotated)[:, :, ::-1])  # RGB→BGR
+
+            try:
+                batch = []
+                sizes = []
+                for frame in _video_frames(cap):
+                    batch.append(resize_bilinear(frame, image_size, image_size))
+                    sizes.append(vid_size)
+                    if len(batch) == batch_size:
+                        process(np.stack(batch), raw_sizes=sizes, sink=sink)
+                        batch, sizes = [], []
+                if batch:
+                    pad = batch_size - len(batch)
+                    padded = np.stack(batch + [np.zeros_like(batch[0])] * pad)
+                    process(padded, raw_sizes=sizes, n_real=len(batch), sink=sink)
+            finally:
+                cap.release()
+                writer.release()
+            print(f"wrote {image_counter} annotated frames to {video_out}")
         else:
             if input_data_source == "image_file":
                 filenames = [image_file_path]
