@@ -267,14 +267,18 @@ class Inference:
                             break
                 finally:
                     cap.release()
-            else:
-                files = ([image_file_path] if input_data_source == "image_file"
-                         else dir_filelist(images_dir, (".jpeg", ".jpg", ".png", ".bmp"))[:8])
-                for file in files:
-                    with open(file, "rb") as f:
-                        orig = decode_image(f.read()).astype(np.float32) / 255.0
-                    calib_images.append(resize_bilinear(orig, image_size, image_size))
-            calibration_batches = [np.stack(calib_images)]
+                if not calib_images:
+                    raise ValueError(
+                        f"no decodable calibration frames in {video_file_path}")
+            elif input_data_source == "image_file":
+                with open(image_file_path, "rb") as f:
+                    orig = decode_image(f.read()).astype(np.float32) / 255.0
+                calib_images.append(resize_bilinear(orig, image_size, image_size))
+            if calib_images:
+                calibration_batches = [np.stack(calib_images)]
+            else:  # images_dir — shared helper (clear empty-dir error)
+                calibration_batches = calibration_batches_from_dir(
+                    images_dir, image_size)
 
         mesh = None
         spatial_partitioning = int(spatial_partitioning or 1)
@@ -374,11 +378,16 @@ class Inference:
                     sizes.append(vid_size)
                     if len(batch) == batch_size:
                         process(np.stack(batch), raw_sizes=sizes, sink=sink)
+                        # videos are unbounded — keep only the freshest
+                        # batch's detections in memory (detect.txt has every
+                        # frame); the return value is the LAST frames' tuples
+                        del results[:-batch_size]
                         batch, sizes = [], []
                 if batch:
                     pad = batch_size - len(batch)
                     padded = np.stack(batch + [np.zeros_like(batch[0])] * pad)
                     process(padded, raw_sizes=sizes, n_real=len(batch), sink=sink)
+                    del results[:-len(batch)]
             finally:
                 cap.release()
                 writer.release()

@@ -452,23 +452,27 @@ class Serve:
                 from ..parallel.mesh import make_mesh
 
                 ndev = jax.device_count()
-                if ndev % spatial:
-                    raise ValueError(
-                        f"spatial_partitioning ({spatial}) must divide the "
-                        f"device count ({ndev})")
-                data_size = ndev // spatial
-                bad = [b for b in batch_buckets if int(b) % data_size]
-                if bad:
-                    raise ValueError(
-                        f"batch_buckets {bad} not divisible by the data-axis "
-                        f"size ({data_size} = {ndev} devices / spatial {spatial})")
-                if int(image_size) % spatial:
-                    raise ValueError(
-                        f"image_size ({image_size}) must be divisible by "
-                        f"spatial_partitioning ({spatial})")
-                mesh = make_mesh(spatial=spatial)
-                log.info("sharded serving over %d devices (mesh %s)", ndev,
-                         dict(zip(mesh.axis_names, mesh.devices.shape)))
+                if ndev <= 1:
+                    if spatial > 1:
+                        raise ValueError(
+                            "spatial_partitioning needs more than one device")
+                    # single device: DP is a no-op — match the inference CLI
+                else:
+                    mesh = make_mesh(spatial=spatial)  # validates divisibility
+                    data_size = dict(zip(mesh.axis_names,
+                                         mesh.devices.shape))["data"]
+                    bad = [b for b in batch_buckets if int(b) % data_size]
+                    if bad:
+                        raise ValueError(
+                            f"batch_buckets {bad} not divisible by the "
+                            f"data-axis size ({data_size} = {ndev} devices / "
+                            f"spatial {spatial})")
+                    if int(image_size) % spatial:
+                        raise ValueError(
+                            f"image_size ({image_size}) must be divisible by "
+                            f"spatial_partitioning ({spatial})")
+                    log.info("sharded serving over %d devices (mesh %s)", ndev,
+                             dict(zip(mesh.axis_names, mesh.devices.shape)))
 
             predictor, class_names, model_name = build_serving_predictor(
                 model_config_file, classes_name_file, anchors_file,

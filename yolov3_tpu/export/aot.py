@@ -80,10 +80,12 @@ def load_detector_artifact(path: str):
 
     with zipfile.ZipFile(path, "r") as zf:
         manifest = json.loads(zf.read(MANIFEST_NAME).decode())
+        # version-gate BEFORE touching the module bytes: a future format's
+        # module must produce this clear error, not a deserialize crash
+        version = int(manifest.get("format_version", 0))
+        if version > FORMAT_VERSION:
+            raise ValueError(
+                f"artifact {path} has format_version {version}; this loader "
+                f"understands ≤ {FORMAT_VERSION} — upgrade yolov3_tpu")
         exported = jax_export.deserialize(zf.read(MODULE_NAME))
-    version = int(manifest.get("format_version", 0))
-    if version > FORMAT_VERSION:
-        raise ValueError(
-            f"artifact {path} has format_version {version}; this loader "
-            f"understands ≤ {FORMAT_VERSION} — upgrade yolov3_tpu")
     return jax.jit(exported.call), manifest
