@@ -24,7 +24,7 @@ def test_entry_points_declared(repo_root):
     scripts = proj["project"]["scripts"]
     assert set(scripts) == {"yolov3-tpu-train", "yolov3-tpu-infer",
                             "yolov3-tpu-evaluate", "yolov3-tpu-convert",
-                            "yolov3-tpu-serve"}
+                            "yolov3-tpu-serve", "yolov3-tpu-export"}
     for target in scripts.values():
         mod, fn = target.split(":")
         assert mod == "yolov3_tpu.apps.cli" and hasattr(cli, fn)

@@ -65,6 +65,26 @@ def convert_main(argv=None) -> None:
     convert(_load(args.config))
 
 
+def export_main(argv=None) -> None:
+    parser = argparse.ArgumentParser(prog="yolov3-tpu-export")
+    parser.add_argument("--config", type=str, default="config/detect_config.yaml",
+                        help="detect/serve config yaml (model + NMS keys)")
+    parser.add_argument("--out", type=str, required=True,
+                        help="output artifact path (e.g. yolov3.yoloexp)")
+    parser.add_argument("--platforms", type=str, default="cpu,tpu",
+                        help="comma-separated lowering platforms")
+    args = parser.parse_args(argv)
+    import os
+
+    from .export_app import export_artifact
+
+    cfg = _load(args.config)
+    cfg["source_config"] = os.path.abspath(args.config)
+    export_artifact(cfg, args.out,
+                    platforms=tuple(p.strip() for p in args.platforms.split(",")
+                                    if p.strip()))
+
+
 def serve_main(argv=None) -> None:
     parser = argparse.ArgumentParser(prog="yolov3-tpu-serve")
     parser.add_argument("--config", type=str, default="config/serve_config.yaml",
