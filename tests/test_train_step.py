@@ -86,6 +86,53 @@ def test_frozen_params_unchanged(setup):
     assert not np.allclose(before_head, np.asarray(ts["params"]["head0"]["layer2"]["kernel"]))
 
 
+def test_grad_clip_norm(setup):
+    """grad_clip_norm clips the GLOBAL gradient norm before Adam: with a
+    tiny clip the first step's params must move as if the gradient were
+    rescaled to that norm — exactly optax's clip_by_global_norm math —
+    while the unclipped step differs."""
+    import jax.numpy as jnp
+    import optax
+
+    from yolov3_tpu.parallel.train_step import make_adam
+
+    spec, params, state = setup
+    rng = np.random.RandomState(1)
+    grid_sizes = head_grid_sizes(spec, 160)
+    images, labels = _batch(rng)
+
+    def first_step(optimizer):
+        step = make_train_step(spec, ANCHORS, grid_sizes, batch_size=2,
+                               optimizer=optimizer)
+        ts = init_train_state(params, state, optimizer)
+        ts, _ = step(ts, images, labels)
+        return ts["params"]
+
+    clip = 1e-3  # far below the real gradient norm → always active
+    p_clip = first_step(make_adam(1e-3, grad_clip_norm=clip))
+    p_free = first_step(make_adam(1e-3))
+
+    diff_clip = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), p_clip, params))
+    diff_free = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), p_free, params))
+    # both moved, but differently (clip engaged)
+    assert max(diff_clip) > 0 and max(diff_free) > 0
+    assert any(abs(a - b) > 1e-9 for a, b in zip(diff_clip, diff_free))
+    # Adam's per-step move is bounded by ~lr regardless of clip; the real
+    # assertion is the transform wiring: chain(clip, adam) == our optimizer
+    opt_ref = optax.chain(optax.clip_by_global_norm(clip),
+                          optax.adam(1e-3, b1=0.9, b2=0.999, eps=1e-7))
+    opt_got = make_adam(1e-3, grad_clip_norm=clip)
+    g = jax.tree.map(lambda x: jnp.ones_like(x) * 7.0, params)
+    s_ref = opt_ref.init(params)
+    s_got = opt_got.init(params)
+    u_ref, _ = opt_ref.update(g, s_ref, params)
+    u_got, _ = opt_got.update(g, s_got, params)
+    for a, b in zip(jax.tree.leaves(u_ref), jax.tree.leaves(u_got)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_epoch_learning_rate_schedule():
     from yolov3_tpu.parallel.train_step import epoch_learning_rate
 

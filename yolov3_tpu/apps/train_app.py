@@ -168,12 +168,15 @@ class Train:
         # epoch-keyed LR schedule (extension; reference uses constant lr):
         # lr_schedule: "cosine" | {type: cosine, warmup_epochs, min_lr_fraction}
         lr_schedule = kwargs.get("lr_schedule")
+        # grad_clip_norm (extension): clip the global gradient norm inside
+        # the jitted step, before Adam
+        grad_clip_norm = kwargs.get("grad_clip_norm")
         if lr_schedule:
             from ..parallel.train_step import epoch_learning_rate, make_adam_scheduled
 
-            optimizer = make_adam_scheduled(learning_rate)
+            optimizer = make_adam_scheduled(learning_rate, grad_clip_norm)
         else:
-            optimizer = make_adam(learning_rate)
+            optimizer = make_adam(learning_rate, grad_clip_norm)
         grid_sizes = head_grid_sizes(spec, image_size)
 
         dataset, dataset_size = create_dataset(

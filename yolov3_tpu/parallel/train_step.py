@@ -27,19 +27,32 @@ from ..ops.loss import yolo_loss_terms
 from .mesh import batch_sharding, image_sharding, replicated_sharding
 
 
-def make_adam(learning_rate: float) -> optax.GradientTransformation:
-    """Keras-default Adam (eps 1e-7, vs optax default 1e-8) — train.py:168."""
-    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
+def _adam_chain(learning_rate, grad_clip_norm=None):
+    adam = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
+    if grad_clip_norm is None:
+        return adam  # bare Adam — keeps pre-clip checkpoints' opt-state shape
+    return optax.chain(optax.clip_by_global_norm(float(grad_clip_norm)), adam)
 
 
-def make_adam_scheduled(learning_rate: float) -> optax.GradientTransformation:
+def make_adam(learning_rate: float,
+              grad_clip_norm=None) -> optax.GradientTransformation:
+    """Keras-default Adam (eps 1e-7, vs optax default 1e-8) — train.py:168.
+
+    ``grad_clip_norm`` (extension; the reference never clips): clip the
+    GLOBAL gradient norm before Adam. Note toggling it changes the
+    optimizer-state pytree, so flip it only between (not within) runs."""
+    return _adam_chain(learning_rate, grad_clip_norm)
+
+
+def make_adam_scheduled(learning_rate: float,
+                        grad_clip_norm=None) -> optax.GradientTransformation:
     """Keras-default Adam with the learning rate exposed as a mutable
     hyperparameter (``opt_state.hyperparams["learning_rate"]``) — the train
     app sets it per epoch from an epoch-keyed schedule, which needs no
     steps-per-epoch knowledge (tfrecords dataset sizes are unknown until
     the first epoch) and keeps ONE compiled step."""
     return optax.inject_hyperparams(
-        lambda learning_rate: optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
+        lambda learning_rate: _adam_chain(learning_rate, grad_clip_norm)
     )(learning_rate=learning_rate)
 
 
