@@ -73,3 +73,57 @@ def test_coco_ap_accumulator():
     aps, map5095, map50 = acc.compute()
     np.testing.assert_allclose(map5095, 1.0)
     np.testing.assert_allclose(map50, 1.0)
+
+
+def test_mosaic_composites_pixels_and_boxes():
+    """mosaic=1.0: each output is an exact 4-quadrant partition of its
+    batch neighbors (constant-color sources ⇒ exactly 4 pixel values, no
+    gaps/overlaps), boxes keep class identity and total box area is
+    conserved at 1/4 (each source shrinks by its quadrant's area; the
+    quadrants tile the canvas)."""
+    colors = [0.1, 0.3, 0.6, 0.9]
+    images = np.stack([np.full((64, 64, 3), c, np.float32) for c in colors])
+    labels = np.zeros((4, 10, 6), np.float32)
+    for i in range(4):
+        labels[i, 0] = [0.25, 0.25, 0.75, 0.75, 1, i % 3]
+    out_img, out_lab = augment_batch(
+        jnp.asarray(images), jnp.asarray(labels), jax.random.PRNGKey(0),
+        flip=False, scale_jitter=0.0, brightness=0.0, contrast=0.0, mosaic=1.0)
+    out_img, out_lab = np.asarray(out_img), np.asarray(out_lab)
+    for i in range(4):
+        vals = np.unique(out_img[i].round(5))
+        np.testing.assert_allclose(vals, colors, atol=1e-5)  # exact partition, no zeros
+        valid = out_lab[i][:, 4] > 0
+        assert valid.sum() == 4
+        b = out_lab[i][valid]
+        assert (b[:, :4] >= 0).all() and (b[:, :4] <= 1).all()
+        assert (b[:, 2] > b[:, 0]).all() and (b[:, 3] > b[:, 1]).all()
+        expected = sorted(float(labels[(i + k) % 4, 0, 5]) for k in range(4))
+        assert sorted(b[:, 5].tolist()) == expected
+        area = ((b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])).sum()
+        # source box covers 1/4 of its image; quadrants tile the canvas
+        assert abs(area - 0.25) < 1e-5
+
+
+def test_mosaic_prob_zero_is_identity():
+    images, labels = _batch(np.random.RandomState(3))
+    out_img, out_lab = augment_batch(
+        images, labels, jax.random.PRNGKey(3), flip=False, scale_jitter=0.0,
+        brightness=0.0, contrast=0.0, mosaic=0.0)
+    np.testing.assert_array_equal(np.asarray(out_img), np.asarray(images))
+    np.testing.assert_array_equal(np.asarray(out_lab), np.asarray(labels))
+
+
+def test_mosaic_box_overflow_truncates_to_slots():
+    """4 sources × 2 boxes = 8 candidates into 3 label slots: the first 3
+    valid survive (stable validity sort), all slots valid."""
+    rng = np.random.RandomState(4)
+    images = jnp.asarray(rng.rand(4, 64, 64, 3).astype(np.float32))
+    labels = np.zeros((4, 3, 6), np.float32)
+    labels[:, 0] = [0.1, 0.1, 0.4, 0.4, 1, 0]
+    labels[:, 1] = [0.5, 0.5, 0.9, 0.9, 1, 1]
+    out_img, out_lab = augment_batch(
+        jnp.asarray(images), jnp.asarray(labels), jax.random.PRNGKey(4),
+        flip=False, scale_jitter=0.0, brightness=0.0, contrast=0.0, mosaic=1.0)
+    out_lab = np.asarray(out_lab)
+    assert (out_lab[:, :, 4] == 1).all()  # every slot filled with a real box

@@ -10,9 +10,16 @@ every step, and deterministic given the seed:
   * random scale-and-shift ("zoom out" letterbox jitter): the image is
     resized by s ∈ [1-jitter, 1] and placed at a random offset on a gray
     canvas, boxes transformed accordingly — fixed output shape;
-  * brightness / contrast jitter.
+  * brightness / contrast jitter;
+  * mosaic (YOLOv4-style 4-image composite): output image i is built from
+    batch images i..i+3 (wrapping) warped into the four quadrants of a
+    random center point — done with reverse-warp gathers so every shape
+    stays static; the 4 sources' boxes concatenate and the first
+    ``max_boxes`` valid ones are kept (fixed label shape).
 
-Each transform draws its own randomness per image (vmapped).
+Each transform draws its own randomness per image (vmapped); mosaic runs
+first (its sources are the un-augmented neighbors), then flip/scale/color
+apply per composite.
 """
 
 from __future__ import annotations
@@ -57,6 +64,55 @@ def _scale_shift(img, labels, scale, ox, oy, fill=0.5):
     return out, jnp.concatenate([boxes, labels[:, 4:]], axis=1)
 
 
+def _warp_into_rect(img, labels, x0, x1, y0, y1):
+    """Reverse-warp ``img`` so it exactly fills the normalized canvas rect
+    [x0,x1]×[y0,y1] (zeros outside); boxes map affinely. Same
+    nearest-gather scheme as ``_scale_shift`` — static shapes for traced
+    rect bounds."""
+    h, w, _ = img.shape
+    xs = (jnp.arange(w) / w - x0) / (x1 - x0)  # canvas col → source x (norm)
+    ys = (jnp.arange(h) / h - y0) / (y1 - y0)
+    xi = jnp.clip(xs * w, 0, w - 1).astype(jnp.int32)
+    yi = jnp.clip(ys * h, 0, h - 1).astype(jnp.int32)
+    mask = ((ys >= 0) & (ys < 1.0))[:, None] & ((xs >= 0) & (xs < 1.0))[None, :]
+    out = jnp.where(mask[..., None], img[yi][:, xi], 0.0)
+
+    obj = labels[:, 4:5]
+    scale = jnp.stack([x1 - x0, y1 - y0, x1 - x0, y1 - y0])
+    offset = jnp.stack([x0, y0, x0, y0])
+    boxes = (labels[:, :4] * scale + offset) * obj  # padded rows stay zero
+    return out, jnp.concatenate([boxes, labels[:, 4:]], axis=1)
+
+
+def _mosaic_one(im4, lab4, key):
+    """One 4-image mosaic: im4 (4,H,W,3), lab4 (4,M,6) → (H,W,3), (M,6)."""
+    cx, cy = jax.random.uniform(key, (2,), minval=0.3, maxval=0.7)
+    rects = ((0.0, cx, 0.0, cy), (cx, 1.0, 0.0, cy),
+             (0.0, cx, cy, 1.0), (cx, 1.0, cy, 1.0))
+    canvas = jnp.zeros_like(im4[0])
+    parts = []
+    for src_img, src_lab, (rx0, rx1, ry0, ry1) in zip(im4, lab4, rects):
+        warped, lab_q = _warp_into_rect(src_img, src_lab, rx0, rx1, ry0, ry1)
+        canvas = canvas + warped  # quadrant supports are disjoint
+        parts.append(lab_q)
+    lab_cat = jnp.concatenate(parts, axis=0)  # (4M, 6)
+    # keep the first M valid rows (stable sort on validity ⇒ source order)
+    order = jnp.argsort(-lab_cat[:, 4], stable=True)
+    return canvas, lab_cat[order][: lab4.shape[1]]
+
+
+def _mosaic_batch(images, labels, key, prob):
+    """Per-image Bernoulli(prob) choice between the 4-neighbor mosaic
+    composite and the original. Sources wrap around the batch."""
+    im4 = jnp.stack([jnp.roll(images, -k, axis=0) for k in range(4)], axis=1)
+    lab4 = jnp.stack([jnp.roll(labels, -k, axis=0) for k in range(4)], axis=1)
+    keys = jax.random.split(key, images.shape[0] + 1)
+    m_img, m_lab = jax.vmap(_mosaic_one)(im4, lab4, keys[1:])
+    take = jax.random.bernoulli(keys[0], prob, (images.shape[0],))
+    return (jnp.where(take[:, None, None, None], m_img, images),
+            jnp.where(take[:, None, None], m_lab, labels))
+
+
 def _jitter_colors(img, key, brightness, contrast):
     kb, kc = jax.random.split(key)
     b = jax.random.uniform(kb, (), minval=-brightness, maxval=brightness)
@@ -65,14 +121,22 @@ def _jitter_colors(img, key, brightness, contrast):
     return jnp.clip((img - mean) * c + mean + b, 0.0, 1.0)
 
 
-@partial(jax.jit, static_argnames=("flip", "scale_jitter", "brightness", "contrast"))
+@partial(jax.jit, static_argnames=("flip", "scale_jitter", "brightness",
+                                   "contrast", "mosaic"))
 def augment_batch(images, labels, rng_key, flip: bool = True,
                   scale_jitter: float = 0.25, brightness: float = 0.1,
-                  contrast: float = 0.1):
+                  contrast: float = 0.1, mosaic: float = 0.0):
     """Augment a batch on device. images (B,H,W,3) in [0,1]; labels (B,M,6).
+
+    ``mosaic``: probability per image of replacing it with a 4-image
+    composite of its batch neighbors (YOLOv4-style). Runs before the
+    per-image transforms.
 
     Returns (images, labels) with identical shapes.
     """
+    if mosaic > 0:
+        km, rng_key = jax.random.split(rng_key)
+        images, labels = _mosaic_batch(images, labels, km, float(mosaic))
 
     def one(img, lab, key):
         kf, ks, ko, kc = jax.random.split(key, 4)
