@@ -127,3 +127,23 @@ def test_mosaic_box_overflow_truncates_to_slots():
         flip=False, scale_jitter=0.0, brightness=0.0, contrast=0.0, mosaic=1.0)
     out_lab = np.asarray(out_lab)
     assert (out_lab[:, :, 4] == 1).all()  # every slot filled with a real box
+
+
+def test_letterbox_unmap_boxes_inverse():
+    """letterbox_unmap_boxes inverts the letterbox placement: map a box
+    from the original frame INTO the letterboxed frame with the same
+    scaled-dims/offset math, unmap it, and recover the original."""
+    from yolov3_tpu.data.image import letterbox_scaled_dims, letterbox_unmap_boxes
+
+    rng = np.random.RandomState(0)
+    S = 96
+    for (h, w) in [(200, 320), (127, 64), (96, 96), (640, 427)]:
+        nh, nw = letterbox_scaled_dims(h, w, S, S)
+        top, left = (S - nh) // 2, (S - nw) // 2
+        boxes = rng.rand(8, 4).astype(np.float32)
+        boxes = np.sort(boxes.reshape(8, 2, 2), axis=1).reshape(8, 4)  # x1<x2, y1<y2
+        fwd = np.empty_like(boxes)
+        fwd[:, 0::2] = (left + boxes[:, 0::2] * nw) / S
+        fwd[:, 1::2] = (top + boxes[:, 1::2] * nh) / S
+        back = letterbox_unmap_boxes(fwd, h, w, S, S)
+        np.testing.assert_allclose(back, boxes, atol=1e-5)

@@ -180,6 +180,41 @@ def test_inference_video_mode(workdir, trained_checkpoint, toy_dataset):
                 if f.startswith("detect_") and f.endswith(".jpg")]
 
 
+def test_inference_letterbox_square_equals_plain(workdir, trained_checkpoint):
+    """`letterbox: true` (extension): on SQUARE inputs the letterbox is the
+    identity geometry, so detections must match the plain-resize default
+    (classes exact, boxes/scores at float tolerance — the letterbox path
+    un-maps boxes and renders on the original pixels)."""
+    from yolov3_tpu.apps.inference_app import Inference
+
+    cfg = yaml.safe_load(open("config/detect_config.yaml"))
+    cfg["image_size"] = 96
+    cfg["input_weights_path"] = trained_checkpoint
+    cfg["input_data_source"] = "images_dir"
+
+    cfg["output_dir"] = f"{workdir}/detect_plain"
+    plain = Inference()(**cfg)
+    cfg["output_dir"] = f"{workdir}/detect_letterbox"
+    cfg["letterbox"] = True
+    boxed = Inference()(**cfg)
+
+    assert len(plain) == len(boxed) > 0
+    assert any(len(names) for names, _, _ in plain)
+    for (n_a, b_a, s_a), (n_b, b_b, s_b) in zip(plain, boxed):
+        assert n_a == n_b
+        np.testing.assert_allclose(np.asarray(s_a), np.asarray(s_b), atol=1e-6)
+        # letterbox mode clips un-mapped boxes to the image — clip the
+        # plain boxes too (decode can emit slightly out-of-range coords)
+        np.testing.assert_allclose(
+            np.clip(np.asarray(b_a).reshape(-1, 4), 0.0, 1.0),
+            np.asarray(b_b).reshape(-1, 4), atol=1e-5)
+    # letterbox renders on the ORIGINAL pixels — annotated jpg at 256²
+    from PIL import Image
+
+    im = Image.open(f"{workdir}/detect_letterbox/detect_0.jpg")
+    assert im.size == (256, 256)
+
+
 def test_evaluate_coco_export(workdir, trained_checkpoint):
     """`coco_export_dir` writes the pycocotools interchange pair for the
     LOWEST sweep threshold: detections.json (results list) +

@@ -111,14 +111,17 @@ def make_predictor(spec, params, bn_state, anchors_table, nclasses,
                    out_shardings=(data, data, data, data, data))
 
 
-def calibration_batches_from_dir(images_dir, image_size, limit: int = 8):
+def calibration_batches_from_dir(images_dir, image_size, limit: int = 8,
+                                 preprocess=None):
     """int8-calibration batches from a directory of images (square resize,
-    /255 — the ``image_file`` preprocessing). Shared by serve/export."""
+    /255 — the ``image_file`` preprocessing; pass ``preprocess`` to match a
+    letterboxed pipeline). Shared by serve/export."""
+    preprocess = preprocess or resize_bilinear
     calib = []
     for file in dir_filelist(images_dir, (".jpeg", ".jpg", ".png", ".bmp"))[:limit]:
         with open(file, "rb") as f:
             img = decode_image(f.read()).astype(np.float32) / 255.0
-        calib.append(resize_bilinear(img, image_size, image_size))
+        calib.append(preprocess(img, image_size, image_size))
     if not calib:
         raise ValueError(f"no calibration images in {images_dir}")
     return [np.stack(calib)]
@@ -210,6 +213,7 @@ class Inference:
         bbox_color,
         font_size,
         video_file_path=None,
+        letterbox=False,
         display_result_images=None,
         save_model_path=None,
         quantize=None,
@@ -246,6 +250,15 @@ class Inference:
             print(f"Saving weights loaded model to {save_model_path}: (configurable)")
             save_weights(spec, params, bn_state, os.path.join(save_model_path, "model"))
 
+        from ..data.image import letterbox_resize
+
+        # letterbox: true (extension) — aspect-preserving preprocessing for
+        # the per-image modes (image_file/images_dir/video_file); boxes are
+        # un-mapped to the original frame and rendered on the original
+        # pixels. The reference's plain-resize geometry stays the default
+        # (inference.py:148-158); tfrecords mode is already square.
+        prep = letterbox_resize if letterbox else resize_bilinear
+
         calibration_batches = None
         if quantize in ("int8", "int8_chain"):
             # calibrate on up to 8 images from the configured input source
@@ -262,7 +275,7 @@ class Inference:
                 try:
                     for frame in _video_frames(cap):
                         calib_images.append(
-                            resize_bilinear(frame, image_size, image_size))
+                            prep(frame, image_size, image_size))
                         if len(calib_images) >= 8:
                             break
                 finally:
@@ -273,12 +286,12 @@ class Inference:
             elif input_data_source == "image_file":
                 with open(image_file_path, "rb") as f:
                     orig = decode_image(f.read()).astype(np.float32) / 255.0
-                calib_images.append(resize_bilinear(orig, image_size, image_size))
+                calib_images.append(prep(orig, image_size, image_size))
             if calib_images:
                 calibration_batches = [np.stack(calib_images)]
             else:  # images_dir — shared helper (clear empty-dir error)
                 calibration_batches = calibration_batches_from_dir(
-                    images_dir, image_size)
+                    images_dir, image_size, preprocess=prep)
 
         mesh = None
         spatial_partitioning = int(spatial_partitioning or 1)
@@ -309,11 +322,15 @@ class Inference:
         image_counter = 0
         results = []
 
-        def process(batch_images, raw_sizes=None, n_real=None, sink=None):
+        def process(batch_images, raw_sizes=None, n_real=None, sink=None,
+                    originals=None):
             """Run one compiled batch; render/write the first ``n_real``
             images (tail batches arrive zero-padded to the compiled size).
             ``sink(annotated_pil)`` overrides the per-image jpg save (video
-            mode streams annotated frames to a VideoWriter instead)."""
+            mode streams annotated frames to a VideoWriter instead).
+            ``originals`` (letterbox mode): the full-resolution source
+            images — boxes are un-mapped out of the letterbox frame and
+            rendered directly on them."""
             nonlocal image_counter
             out = predict(jnp.asarray(batch_images))
             bboxes, class_idx, scores, selected, num_valid = map(np.asarray, out)
@@ -322,10 +339,18 @@ class Inference:
                     bboxes[i], class_idx[i], scores[i], selected[i], num_valid[i]
                 )
                 names = [class_names[int(c)] for c in cc]
+                if originals is not None:
+                    from ..data.image import letterbox_unmap_boxes
+
+                    oh, ow = originals[i].shape[:2]
+                    bb = letterbox_unmap_boxes(bb, oh, ow, image_size, image_size)
+                    render_source = originals[i]
+                else:
+                    render_source = batch_images[i]
                 annotated, detections = render_text_annotated_bboxes(
-                    batch_images[i], bb, names, ss, bbox_color, font_size
+                    render_source, bb, names, ss, bbox_color, font_size
                 )
-                if raw_sizes is not None:
+                if raw_sizes is not None and originals is None:
                     annotated = annotated.resize(raw_sizes[i])
                 outfile.write(f"{detections}\n")
                 outfile.flush()
@@ -373,20 +398,25 @@ class Inference:
             try:
                 batch = []
                 sizes = []
+                origs = []
                 for frame in _video_frames(cap):
-                    batch.append(resize_bilinear(frame, image_size, image_size))
+                    batch.append(prep(frame, image_size, image_size))
                     sizes.append(vid_size)
+                    if letterbox:
+                        origs.append(frame)
                     if len(batch) == batch_size:
-                        process(np.stack(batch), raw_sizes=sizes, sink=sink)
+                        process(np.stack(batch), raw_sizes=sizes, sink=sink,
+                                originals=origs if letterbox else None)
                         # videos are unbounded — keep only the freshest
                         # batch's detections in memory (detect.txt has every
                         # frame); the return value is the LAST frames' tuples
                         del results[:-batch_size]
-                        batch, sizes = [], []
+                        batch, sizes, origs = [], [], []
                 if batch:
                     pad = batch_size - len(batch)
                     padded = np.stack(batch + [np.zeros_like(batch[0])] * pad)
-                    process(padded, raw_sizes=sizes, n_real=len(batch), sink=sink)
+                    process(padded, raw_sizes=sizes, n_real=len(batch), sink=sink,
+                            originals=origs if letterbox else None)
                     del results[:-len(batch)]
             finally:
                 cap.release()
@@ -403,8 +433,9 @@ class Inference:
             for file in filenames:
                 with open(file, "rb") as f:
                     orig = decode_image(f.read()).astype(np.float32) / 255.0
-                image = resize_bilinear(orig, image_size, image_size)
-                process(image[None], raw_sizes=[(orig.shape[1], orig.shape[0])])
+                image = prep(orig, image_size, image_size)
+                process(image[None], raw_sizes=[(orig.shape[1], orig.shape[0])],
+                        originals=[orig] if letterbox else None)
 
         outfile.close()
         if results:

@@ -74,6 +74,22 @@ def letterbox_scaled_dims(h: int, w: int, target_height: int, target_width: int)
     return max(nh, 1), max(nw, 1)
 
 
+def letterbox_unmap_boxes(boxes: np.ndarray, orig_h: int, orig_w: int,
+                          target_height: int, target_width: int) -> np.ndarray:
+    """Map normalized xyxy boxes from the letterboxed (target) frame back
+    to the ORIGINAL image's normalized frame — the inverse of where
+    ``letterbox_resize`` placed the content (same scaled-dims/offset math),
+    clipped to [0, 1]."""
+    nh, nw = letterbox_scaled_dims(orig_h, orig_w, target_height, target_width)
+    top = (target_height - nh) // 2
+    left = (target_width - nw) // 2
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+    out = np.empty_like(boxes)
+    out[:, 0::2] = (boxes[:, 0::2] * target_width - left) / nw
+    out[:, 1::2] = (boxes[:, 1::2] * target_height - top) / nh
+    return np.clip(out, 0.0, 1.0)
+
+
 def letterbox_resize(img: np.ndarray, target_height: int, target_width: int) -> np.ndarray:
     """Aspect-preserving resize + center zero-pad (core/utils.py:17-28).
 
