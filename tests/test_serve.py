@@ -224,6 +224,69 @@ def test_concurrent_requests_batched(server):
     assert sum(stats["batch_histogram"].values()) >= 1
 
 
+def test_serve_letterbox_unmaps_boxes(repo_root, toy_dataset, tmp_path):
+    """`letterbox: true` serving: detections on a non-square upload come
+    back in the ORIGINAL frame — exactly letterbox_unmap_boxes applied to
+    the letterboxed predictor's raw output."""
+    from yolov3_tpu.apps.inference_app import (build_serving_predictor,
+                                               gather_valid_detections)
+    from yolov3_tpu.data.image import (decode_image, letterbox_resize,
+                                       letterbox_unmap_boxes)
+
+    cwd = os.getcwd()
+    os.chdir(repo_root)
+    try:
+        spec = parse_model_config("config/models/yolov3_tiny/model.yaml", nclasses=3)
+    finally:
+        os.chdir(cwd)
+    params, bn_state = init_model(jax.random.PRNGKey(2), spec)
+    weights = str(tmp_path / "lb_weights")
+    save_weights(spec, params, bn_state, weights)
+    cfg = dict(
+        model_config_file=os.path.join(repo_root, "config/models/yolov3_tiny/model.yaml"),
+        classes_name_file=os.path.join(toy_dataset, "class.names"),
+        anchors_file=os.path.join(toy_dataset, "anchors/anchors_tiny.txt"),
+        input_weights_path=weights,
+        image_size=IMAGE_SIZE,
+        yolo_max_boxes=10,
+        nms_iou_threshold=0.5,
+        nms_score_threshold=0.02,
+    )
+    httpd, app = Serve()(
+        **cfg, host="127.0.0.1", port=0, batch_buckets=[1],
+        batch_timeout_ms=1, warmup=False, serve_forever=False, letterbox=True,
+    )
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        health = json.loads(urllib.request.urlopen(f"{url}/healthz", timeout=30).read())
+        assert health["letterbox"] is True
+
+        png, arr = _png_bytes(np.random.RandomState(5), h=50, w=90)  # non-square
+        body = _post(url, png)
+
+        predictor, _, _ = build_serving_predictor(**cfg)
+        image = letterbox_resize(
+            decode_image(png).astype(np.float32) / 255.0, IMAGE_SIZE, IMAGE_SIZE)
+        bb, cc, ss = gather_valid_detections(
+            *[np.asarray(o)[0] for o in predictor(image[None])])
+        expected = letterbox_unmap_boxes(bb, 50, 90, IMAGE_SIZE, IMAGE_SIZE) \
+            if len(bb) else bb.reshape(-1, 4)
+        assert len(body["detections"]) == len(bb)
+        for det, box, cls, score in zip(body["detections"], expected, cc, ss):
+            assert det["class_id"] == int(cls)
+            assert det["score"] == pytest.approx(float(score), abs=1e-6)
+            assert np.allclose(det["box_normalized"], box, atol=1e-5)
+            # pixel boxes scale by the ORIGINAL width/height
+            assert det["box"][0] == pytest.approx(box[0] * 90, abs=1e-2)
+            assert det["box"][3] == pytest.approx(box[3] * 50, abs=1e-2)
+    finally:
+        httpd.shutdown()
+        app.shutdown()
+        thread.join(timeout=5)
+
+
 def test_metrics_prometheus(server):
     url, app = server
     png, _ = _png_bytes(np.random.RandomState(4))

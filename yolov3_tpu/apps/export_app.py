@@ -29,7 +29,8 @@ def export_artifact(config: dict, out: str, platforms=("cpu", "tpu")) -> dict:
         config.get("nms_iou_threshold", 0.5),
         config.get("nms_score_threshold", 0.3),
         quantize, config.get("compute_precision"),
-        config.get("calibration_images_dir"))
+        config.get("calibration_images_dir"),
+        letterbox=bool(config.get("letterbox")))
 
     platforms = tuple(platforms)
     exported = export_detector(predictor, image_size, platforms=platforms)
@@ -42,6 +43,7 @@ def export_artifact(config: dict, out: str, platforms=("cpu", "tpu")) -> dict:
         "nms_score_threshold": float(config.get("nms_score_threshold", 0.3)),
         "quantize": quantize,
         "compute_precision": config.get("compute_precision"),
+        "letterbox": bool(config.get("letterbox")),  # preprocessing hint
         "source_config": config.get("source_config"),
     })
     size_mb = os.path.getsize(out) / 1e6

@@ -131,13 +131,15 @@ def build_serving_predictor(model_config_file, classes_name_file, anchors_file,
                             input_weights_path, image_size, yolo_max_boxes=100,
                             nms_iou_threshold=0.5, nms_score_threshold=0.3,
                             quantize=None, compute_precision=None,
-                            calibration_images_dir=None, mesh=None):
+                            calibration_images_dir=None, mesh=None,
+                            letterbox=False):
     """Detect-config keys → ``(predictor, class_names, model_name)``.
 
     The one-stop predictor constructor shared by ``serve.py`` and
     ``utilities/export_serving_artifact.py``: parse model, load weights,
-    calibrate int8 if asked, and return the fused jitted program
-    (optionally sharded over ``mesh`` — see ``make_predictor``).
+    calibrate int8 if asked (``letterbox`` selects the calibration
+    geometry to match the caller's preprocessing), and return the fused
+    jitted program (optionally sharded over ``mesh``).
     """
     anchors_table = get_anchors(anchors_file)
     class_names = read_class_names(classes_name_file)
@@ -149,8 +151,11 @@ def build_serving_predictor(model_config_file, classes_name_file, anchors_file,
     if quantize in ("int8", "int8_chain"):
         if not calibration_images_dir:
             raise ValueError(f"quantize: {quantize} needs calibration_images_dir")
+        from ..data.image import letterbox_resize
+
         calibration_batches = calibration_batches_from_dir(
-            calibration_images_dir, image_size)
+            calibration_images_dir, image_size,
+            preprocess=letterbox_resize if letterbox else None)
 
     compute_dtype = {"bf16": jnp.bfloat16, "fp32": None, None: None}[compute_precision]
     predictor = make_predictor(

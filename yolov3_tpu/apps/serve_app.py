@@ -304,13 +304,14 @@ class DetectionApp:
 
     def __init__(self, predictor, class_names, image_size,
                  batch_buckets=(1, 4, 16), batch_timeout_ms=5.0,
-                 model_name="yolov3", quantize=None):
+                 model_name="yolov3", quantize=None, letterbox=False):
         import jax
 
         self.class_names = list(class_names)
         self.image_size = int(image_size)
         self.model_name = model_name
         self.quantize = quantize
+        self.letterbox = bool(letterbox)
         self.stats = ServerStats()
         self._device = str(jax.devices()[0])
 
@@ -329,12 +330,16 @@ class DetectionApp:
             "image_size": self.image_size,
             "classes": len(self.class_names),
             "quantize": self.quantize,
+            "letterbox": self.letterbox,
             "batch_buckets": self.batcher.buckets,
         }
 
     def detect(self, encoded_image: bytes) -> dict:
-        """Decode → square-resize → batched predict → JSON-able dict."""
-        from ..data.image import decode_image, resize_bilinear
+        """Decode → square-resize (or letterbox) → batched predict →
+        JSON-able dict. With ``letterbox`` boxes are un-mapped to the
+        original frame (both ``box`` and ``box_normalized``)."""
+        from ..data.image import (decode_image, letterbox_resize,
+                                  letterbox_unmap_boxes, resize_bilinear)
 
         t0 = time.monotonic()
         try:
@@ -342,8 +347,12 @@ class DetectionApp:
         except Exception as exc:
             raise ValueError(f"could not decode image: {exc}") from exc
         h, w = orig.shape[:2]
-        image = resize_bilinear(orig, self.image_size, self.image_size)
+        prep = letterbox_resize if self.letterbox else resize_bilinear
+        image = prep(orig, self.image_size, self.image_size)
         bboxes, class_idx, scores = self.batcher.submit(image)
+        if self.letterbox and len(bboxes):
+            bboxes = letterbox_unmap_boxes(bboxes, h, w,
+                                           self.image_size, self.image_size)
         detections = []
         for box, cls, score in zip(bboxes, class_idx, scores):
             cls = int(cls)
@@ -408,6 +417,7 @@ class Serve:
         artifact=None,
         data_parallel=False,
         spatial_partitioning=1,
+        letterbox=False,
         serve_forever=True,
         **kwargs,
     ):
@@ -429,6 +439,9 @@ class Serve:
             image_size = int(manifest["image_size"])
             quantize = manifest.get("quantize")
             model_name = manifest.get("model_name", "yolov3")
+            # honor the artifact's preprocessing hint (e.g. int8 calibrated
+            # on letterboxed frames); the serve key can still force it on
+            letterbox = letterbox or bool(manifest.get("letterbox"))
         else:
             from .inference_app import build_serving_predictor
 
@@ -478,12 +491,13 @@ class Serve:
                 model_config_file, classes_name_file, anchors_file,
                 input_weights_path, image_size, yolo_max_boxes,
                 nms_iou_threshold, nms_score_threshold, quantize,
-                compute_precision, calibration_images_dir, mesh=mesh)
+                compute_precision, calibration_images_dir, mesh=mesh,
+                letterbox=letterbox)
 
         app = DetectionApp(
             predictor, class_names, image_size,
             batch_buckets=batch_buckets, batch_timeout_ms=batch_timeout_ms,
-            model_name=model_name, quantize=quantize,
+            model_name=model_name, quantize=quantize, letterbox=letterbox,
         )
         if warmup:
             t0 = time.monotonic()
