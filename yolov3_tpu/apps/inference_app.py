@@ -292,11 +292,15 @@ class Inference:
                 with open(image_file_path, "rb") as f:
                     orig = decode_image(f.read()).astype(np.float32) / 255.0
                 calib_images.append(prep(orig, image_size, image_size))
-            if calib_images:
-                calibration_batches = [np.stack(calib_images)]
             else:  # images_dir — shared helper (clear empty-dir error)
                 calibration_batches = calibration_batches_from_dir(
                     images_dir, image_size, preprocess=prep)
+            if calibration_batches is None:
+                if not calib_images:
+                    raise ValueError(
+                        f"no calibration images from input_data_source="
+                        f"{input_data_source!r}")
+                calibration_batches = [np.stack(calib_images)]
 
         mesh = None
         spatial_partitioning = int(spatial_partitioning or 1)

@@ -84,32 +84,40 @@ def _warp_into_rect(img, labels, x0, x1, y0, y1):
     return out, jnp.concatenate([boxes, labels[:, 4:]], axis=1)
 
 
-def _mosaic_one(im4, lab4, key):
-    """One 4-image mosaic: im4 (4,H,W,3), lab4 (4,M,6) → (H,W,3), (M,6)."""
-    cx, cy = jax.random.uniform(key, (2,), minval=0.3, maxval=0.7)
-    rects = ((0.0, cx, 0.0, cy), (cx, 1.0, 0.0, cy),
-             (0.0, cx, cy, 1.0), (cx, 1.0, cy, 1.0))
-    canvas = jnp.zeros_like(im4[0])
-    parts = []
-    for src_img, src_lab, (rx0, rx1, ry0, ry1) in zip(im4, lab4, rects):
-        warped, lab_q = _warp_into_rect(src_img, src_lab, rx0, rx1, ry0, ry1)
-        canvas = canvas + warped  # quadrant supports are disjoint
-        parts.append(lab_q)
-    lab_cat = jnp.concatenate(parts, axis=0)  # (4M, 6)
-    # keep the first M valid rows (stable sort on validity ⇒ source order)
-    order = jnp.argsort(-lab_cat[:, 4], stable=True)
-    return canvas, lab_cat[order][: lab4.shape[1]]
-
-
 def _mosaic_batch(images, labels, key, prob):
     """Per-image Bernoulli(prob) choice between the 4-neighbor mosaic
-    composite and the original. Sources wrap around the batch."""
-    im4 = jnp.stack([jnp.roll(images, -k, axis=0) for k in range(4)], axis=1)
-    lab4 = jnp.stack([jnp.roll(labels, -k, axis=0) for k in range(4)], axis=1)
-    keys = jax.random.split(key, images.shape[0] + 1)
-    m_img, m_lab = jax.vmap(_mosaic_one)(im4, lab4, keys[1:])
-    take = jax.random.bernoulli(keys[0], prob, (images.shape[0],))
-    return (jnp.where(take[:, None, None, None], m_img, images),
+    composite and the original. Sources wrap around the batch.
+
+    Memory note: quadrants are composed SEQUENTIALLY over whole-batch
+    rolls (canvas += warp(roll(images, -q))) rather than materializing a
+    stacked (B, 4, H, W, 3) copy of the batch — peak extra HBM is ~2
+    batch-sized arrays instead of 4, which matters at production batch ×
+    resolution."""
+    batch = images.shape[0]
+    max_boxes = labels.shape[1]
+    keys = jax.random.split(key, batch + 1)
+    centers = jax.vmap(
+        lambda k: jax.random.uniform(k, (2,), minval=0.3, maxval=0.7))(keys[1:])
+    cx, cy = centers[:, 0], centers[:, 1]  # (B,), per output image
+    zero, one = jnp.zeros_like(cx), jnp.ones_like(cx)
+    rects = ((zero, cx, zero, cy), (cx, one, zero, cy),
+             (zero, cx, cy, one), (cx, one, cy, one))
+
+    canvas = jnp.zeros_like(images)
+    parts = []
+    warp = jax.vmap(_warp_into_rect)
+    for q, (rx0, rx1, ry0, ry1) in enumerate(rects):
+        warped, lab_q = warp(jnp.roll(images, -q, axis=0),
+                             jnp.roll(labels, -q, axis=0), rx0, rx1, ry0, ry1)
+        canvas = canvas + warped  # quadrant supports are disjoint
+        parts.append(lab_q)
+    lab_cat = jnp.concatenate(parts, axis=1)  # (B, 4M, 6)
+    # keep the first M valid rows (stable sort on validity ⇒ source order)
+    order = jnp.argsort(-lab_cat[..., 4], axis=1, stable=True)
+    m_lab = jnp.take_along_axis(lab_cat, order[..., None], axis=1)[:, :max_boxes]
+
+    take = jax.random.bernoulli(keys[0], prob, (batch,))
+    return (jnp.where(take[:, None, None, None], canvas, images),
             jnp.where(take[:, None, None], m_lab, labels))
 
 

@@ -29,8 +29,10 @@ from .mesh import batch_sharding, image_sharding, replicated_sharding
 
 def _adam_chain(learning_rate, grad_clip_norm=None):
     adam = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
-    if grad_clip_norm is None:
+    if not grad_clip_norm:  # None/0/false-y = off (0 would zero every update)
         return adam  # bare Adam — keeps pre-clip checkpoints' opt-state shape
+    if float(grad_clip_norm) < 0:
+        raise ValueError(f"grad_clip_norm must be positive, got {grad_clip_norm}")
     return optax.chain(optax.clip_by_global_norm(float(grad_clip_norm)), adam)
 
 
