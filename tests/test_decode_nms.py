@@ -124,3 +124,75 @@ def test_round_sweep_matches_matrix_sweep():
                 np.asarray(sel_m)[b][: int(nv_m[b])],
                 np.asarray(sel_r)[b][: int(nv_r[b])],
                 err_msg=f"max_boxes={max_boxes} score_t={score_t} b={b}")
+
+
+def _pack_classes(boxes, scores, classes, nclasses=3):
+    n = len(boxes)
+    conf = np.asarray(scores, np.float32).reshape(1, n, 1)
+    probs = np.zeros((1, n, nclasses), np.float32)
+    probs[0, np.arange(n), classes] = 1.0
+    return (jnp.asarray(np.asarray(boxes, np.float32)[None]),
+            jnp.asarray(conf), jnp.asarray(probs))
+
+
+def test_nms_per_class_keeps_cross_class_overlaps():
+    """per_class=True (extension): identical overlapping boxes of DIFFERENT
+    classes both survive; same-class overlap still suppressed; the
+    class-agnostic default suppresses across classes."""
+    boxes = [[0.1, 0.1, 0.5, 0.5],   # class 0, top score
+             [0.1, 0.1, 0.5, 0.5],   # class 1, same box
+             [0.12, 0.12, 0.52, 0.52]]  # class 0, overlaps box 0
+    scores = [0.9, 0.8, 0.7]
+    b, c, p = _pack_classes(boxes, scores, [0, 1, 0])
+    _, _, _, sel, nv = yolo_nms(b, c, p, max_boxes=10, iou_threshold=0.5,
+                                score_threshold=0.0)
+    assert int(nv[0]) == 1  # class-agnostic: one box wins
+    _, _, _, sel, nv = yolo_nms(b, c, p, max_boxes=10, iou_threshold=0.5,
+                                score_threshold=0.0, per_class=True)
+    assert int(nv[0]) == 2
+    assert list(np.asarray(sel)[0][:2]) == [0, 1]  # box 2 suppressed by 0
+
+
+def _numpy_per_class_nms(boxes, scores, classes, iou_thr, score_thr, max_boxes):
+    """Greedy per-class reference (torchvision batched_nms semantics)."""
+    order = sorted(range(len(boxes)), key=lambda i: (-scores[i], i))
+    keep = []
+    for i in order:
+        if scores[i] <= score_thr:
+            continue
+        ok = True
+        for j in keep:
+            if classes[j] != classes[i]:
+                continue
+            bi, bj = boxes[i], boxes[j]
+            ix = max(0.0, min(bi[2], bj[2]) - max(bi[0], bj[0]))
+            iy = max(0.0, min(bi[3], bj[3]) - max(bi[1], bj[1]))
+            inter = ix * iy
+            ai = max(0.0, bi[2] - bi[0]) * max(0.0, bi[3] - bi[1])
+            aj = max(0.0, bj[2] - bj[0]) * max(0.0, bj[3] - bj[1])
+            union = ai + aj - inter
+            if union > 0 and inter / union > iou_thr:
+                ok = False
+                break
+        if ok and len(keep) < max_boxes:
+            keep.append(i)
+    return keep
+
+
+def test_nms_per_class_matches_numpy_reference():
+    rng = np.random.RandomState(7)
+    n, nclasses = 80, 4
+    xy = rng.rand(n, 2) * 0.7
+    wh = rng.rand(n, 2) * 0.3 + 0.05
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    classes = rng.randint(0, nclasses, n)
+    conf = scores.reshape(1, n, 1)
+    probs = np.zeros((1, n, nclasses), np.float32)
+    probs[0, np.arange(n), classes] = 1.0
+    _, _, _, sel, nv = yolo_nms(
+        jnp.asarray(boxes[None]), jnp.asarray(conf), jnp.asarray(probs),
+        max_boxes=20, iou_threshold=0.45, score_threshold=0.1, per_class=True)
+    got = list(np.asarray(sel)[0][: int(nv[0])])
+    want = _numpy_per_class_nms(boxes, scores, classes, 0.45, 0.1, 20)
+    assert got == want

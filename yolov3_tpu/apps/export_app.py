@@ -30,7 +30,8 @@ def export_artifact(config: dict, out: str, platforms=("cpu", "tpu")) -> dict:
         config.get("nms_score_threshold", 0.3),
         quantize, config.get("compute_precision"),
         config.get("calibration_images_dir"),
-        letterbox=bool(config.get("letterbox")))
+        letterbox=bool(config.get("letterbox")),
+        nms_per_class=bool(config.get("nms_per_class")))
 
     platforms = tuple(platforms)
     exported = export_detector(predictor, image_size, platforms=platforms)
@@ -43,6 +44,7 @@ def export_artifact(config: dict, out: str, platforms=("cpu", "tpu")) -> dict:
         "nms_score_threshold": float(config.get("nms_score_threshold", 0.3)),
         "quantize": quantize,
         "compute_precision": config.get("compute_precision"),
+        "nms_per_class": bool(config.get("nms_per_class")),
         "letterbox": bool(config.get("letterbox")),  # preprocessing hint
         "source_config": config.get("source_config"),
     })

@@ -41,7 +41,7 @@ def make_predictor(spec, params, bn_state, anchors_table, nclasses,
                    yolo_max_boxes, nms_iou_threshold, nms_score_threshold,
                    fold_bn: bool = True, compute_dtype=None,
                    quantize=None, calibration_batches=None, mesh=None,
-                   image_size=None):
+                   image_size=None, nms_per_class: bool = False):
     """Build the fused forward+decode+NMS jitted function.
 
     ``mesh``: a ``jax.sharding.Mesh`` for sharded serving — params
@@ -98,6 +98,7 @@ def make_predictor(spec, params, bn_state, anchors_table, nclasses,
             max_boxes=yolo_max_boxes,
             iou_threshold=nms_iou_threshold,
             score_threshold=nms_score_threshold,
+            per_class=nms_per_class,
         )
 
     if mesh is None:
@@ -132,7 +133,7 @@ def build_serving_predictor(model_config_file, classes_name_file, anchors_file,
                             nms_iou_threshold=0.5, nms_score_threshold=0.3,
                             quantize=None, compute_precision=None,
                             calibration_images_dir=None, mesh=None,
-                            letterbox=False):
+                            letterbox=False, nms_per_class=False):
     """Detect-config keys → ``(predictor, class_names, model_name)``.
 
     The one-stop predictor constructor shared by ``serve.py`` and
@@ -163,7 +164,7 @@ def build_serving_predictor(model_config_file, classes_name_file, anchors_file,
         yolo_max_boxes, nms_iou_threshold, nms_score_threshold,
         compute_dtype=compute_dtype, quantize=quantize,
         calibration_batches=calibration_batches, image_size=image_size,
-        mesh=mesh)
+        mesh=mesh, nms_per_class=nms_per_class)
     model_name = os.path.basename(os.path.dirname(model_config_file)) or "yolov3"
     return predictor, class_names, model_name
 
@@ -219,6 +220,7 @@ class Inference:
         font_size,
         video_file_path=None,
         letterbox=False,
+        nms_per_class=False,
         display_result_images=None,
         save_model_path=None,
         quantize=None,
@@ -325,7 +327,7 @@ class Inference:
             yolo_max_boxes, nms_iou_threshold, nms_score_threshold,
             compute_dtype={"bf16": jnp.bfloat16, "fp32": None, None: None}[compute_precision],
             quantize=quantize, calibration_batches=calibration_batches, mesh=mesh,
-            image_size=image_size,
+            image_size=image_size, nms_per_class=nms_per_class,
         )
 
         image_counter = 0

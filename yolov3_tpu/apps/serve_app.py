@@ -418,6 +418,7 @@ class Serve:
         data_parallel=False,
         spatial_partitioning=1,
         letterbox=False,
+        nms_per_class=False,
         serve_forever=True,
         **kwargs,
     ):
@@ -492,7 +493,7 @@ class Serve:
                 input_weights_path, image_size, yolo_max_boxes,
                 nms_iou_threshold, nms_score_threshold, quantize,
                 compute_precision, calibration_images_dir, mesh=mesh,
-                letterbox=letterbox)
+                letterbox=letterbox, nms_per_class=nms_per_class)
 
         app = DetectionApp(
             predictor, class_names, image_size,

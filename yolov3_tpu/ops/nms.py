@@ -128,7 +128,8 @@ def _compact(order, keep, max_boxes: int):
     return padded[:max_boxes], num_valid
 
 
-@partial(jax.jit, static_argnames=("max_boxes", "num_candidates", "use_pallas"))
+@partial(jax.jit, static_argnames=("max_boxes", "num_candidates", "use_pallas",
+                                   "per_class"))
 def yolo_nms(
     bboxes,
     confidence,
@@ -138,11 +139,19 @@ def yolo_nms(
     score_threshold: float = 0.1,
     num_candidates: int = DEFAULT_NUM_CANDIDATES,
     use_pallas: bool | None = None,
+    per_class: bool = False,
 ):
-    """Batched class-agnostic NMS.
+    """Batched class-agnostic NMS (per-class as an opt-in).
 
     Args:
       bboxes: (B, N, 4) xyxy; confidence: (B, N, 1); class_probs: (B, N, nc).
+      per_class: suppress only among boxes of the SAME argmax class
+        (torchvision ``batched_nms`` semantics) — implemented by offsetting
+        each candidate's box by class_index before the IoU sweep, so
+        cross-class IoU is exactly 0 and every suppression path (matrix,
+        round sweep, Pallas kernels) works unchanged. The reference is
+        class-agnostic (core/yolo_nms.py:26-33 NOTE), so this is an
+        extension, off by default.
       use_pallas: serving path (K ≤ the matrix-sweep bound): None/False =
         the fused `lax.fori_loop` sweep (default — measured faster inside
         the full detect pipeline, where XLA schedules the scan well);
@@ -170,6 +179,14 @@ def yolo_nms(
     class_indices = jnp.argmax(class_probs, axis=-1)
     best_prob = jnp.max(class_probs, axis=-1)
     scores = confidence[..., 0] * best_prob
+
+    # per-class: shift each box into its own disjoint coordinate band for
+    # the suppression sweeps only (decoded boxes stay within (-1, 2), so a
+    # stride of 4 guarantees zero cross-class IoU); outputs keep the
+    # UNSHIFTED boxes
+    sweep_bboxes = bboxes
+    if per_class:
+        sweep_bboxes = bboxes + class_indices[..., None].astype(jnp.float32) * 4.0
 
     n = scores.shape[1]
     k = min(num_candidates, n)
@@ -203,16 +220,16 @@ def yolo_nms(
             from .pallas.round_sweep import pallas_round_sweep
 
             sel, nvalid = pallas_round_sweep(
-                bboxes, scores, iou_thr, score_thr, max_boxes=max_boxes)
+                sweep_bboxes, scores, iou_thr, score_thr, max_boxes=max_boxes)
         else:
             sel, nvalid = jax.vmap(
                 lambda b, s: _round_sweep_direct(b, s, s > score_thr,
                                                  iou_thr, max_boxes)
-            )(bboxes, scores)
+            )(sweep_bboxes, scores)
         return bboxes, class_indices, scores, sel, nvalid
 
     order, cand_boxes, cand_scores = jax.vmap(lambda b, s: _candidates(b, s, k))(
-        bboxes, scores
+        sweep_bboxes, scores
     )
     valid = cand_scores > score_thr
 
