@@ -35,12 +35,14 @@ log = logging.getLogger(__name__)
 
 
 def make_sweepable_predictor(spec, params, bn_state, anchors_table, nclasses,
-                             yolo_max_boxes, mesh=None):
+                             yolo_max_boxes, mesh=None, nms_per_class=False):
     """``mesh``: batch-sharded DP evaluation over all chips — the sweep
     thresholds are scalar kernel args (replicated), images shard on the
     data axis, and the whole predict is per-image independent SPMD. A 2-D
     (data × spatial) mesh additionally shards image height (GSPMD conv
-    spatial partitioning with halo exchanges — mesh.py)."""
+    spatial partitioning with halo exchanges — mesh.py).
+    ``nms_per_class``: evaluate with per-class suppression (extension;
+    the reference — and the default — is class-agnostic)."""
     run_params = fold_batch_norm(params, bn_state)
     anchors = jnp.asarray(anchors_table, jnp.float32)
 
@@ -53,7 +55,7 @@ def make_sweepable_predictor(spec, params, bn_state, anchors_table, nclasses,
         boxes, conf, probs = yolo_decode(outputs, anchors, nclasses)
         return yolo_nms(boxes, conf, probs, max_boxes=yolo_max_boxes,
                         iou_threshold=iou_threshold, score_threshold=score_threshold,
-                        num_candidates=num_candidates)
+                        num_candidates=num_candidates, per_class=nms_per_class)
 
     if mesh is None:
         return predict
@@ -114,8 +116,9 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
 
         mesh = make_data_parallel_mesh(batch_size, spatial=spatial)
 
-    predict = make_sweepable_predictor(spec, params, bn_state, anchors_table,
-                                       nclasses, yolo_max_boxes, mesh=mesh)
+    predict = make_sweepable_predictor(
+        spec, params, bn_state, anchors_table, nclasses, yolo_max_boxes,
+        mesh=mesh, nms_per_class=bool(detect_config.get("nms_per_class")))
 
     # dataset: tfrecords, gt kept padded + masked (fixed shapes). The
     # reference letterboxes here (inference.py:119-123) — but its tfrecord
