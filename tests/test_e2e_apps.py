@@ -116,14 +116,30 @@ def test_train_then_evaluate(workdir, trained_checkpoint):
     cwd = os.getcwd()
     os.chdir(workdir)  # .npy histograms land here
     try:
-        results = evaluate({"evaluate_nms_score_thresholds": [0.1]}, detect_cfg,
-                           max_eval_images=8)
+        results = evaluate(
+            {"evaluate_nms_score_thresholds": [0.1],
+             "results_json": f"{workdir}/eval_results.json"},
+            detect_cfg, max_eval_images=8)
     finally:
         os.chdir(cwd)
     assert len(results) == 1
     r = results[0]
     assert r["recall"].shape == (3,)
     assert "map50" in r
+
+    # machine-readable summary (results_json evaluate key, extension)
+    import json
+
+    summary = json.load(open(f"{workdir}/eval_results.json"))
+    assert summary["class_names"] == ["circle", "square", "triangle"]
+    (entry,) = summary["sweep"]
+    assert entry["score_threshold"] == 0.1
+    assert len(entry["recall"]) == 3 and len(entry["precision"]) == 3
+    np.testing.assert_allclose(
+        [0.0 if v is None else v for v in entry["recall"]],
+        np.nan_to_num(r["recall"]), atol=1e-9)
+    assert entry["counters"]["tp"] == np.asarray(
+        r["counters"]["tp"]).tolist()
     # every toy image has gt boxes — the evaluator must have seen them
     assert os.path.exists(f"{workdir}/gts_0.1.npy")
     assert np.load(f"{workdir}/gts_0.1.npy").sum() > 0

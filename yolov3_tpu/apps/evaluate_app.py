@@ -218,7 +218,11 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
         for k, v in evaluator_oneclass.counters.items():
             print(f" {k}: {v}", end="")
         print(f"\nrecall: {recall}, precision: {precision}")
-        entry = {"score_threshold": score_threshold, "recall": recall, "precision": precision}
+        entry = {"score_threshold": score_threshold, "recall": recall, "precision": precision,
+                 "counters": {k: np.asarray(v).tolist()
+                              for k, v in evaluator.counters.items()},
+                 "counters_oneclass": {k: np.asarray(v).tolist()
+                                       for k, v in evaluator_oneclass.counters.items()}}
         if ap_acc is not None:
             if coco_map:
                 aps, map5095, map50 = ap_acc.compute()
@@ -248,4 +252,31 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
         np.save(f"fn_{score_threshold}", np.stack(evaluator.fn_histo))
 
     print([(r["recall"], r["precision"]) for r in results])
+
+    # machine-readable sweep summary (extension; the reference only prints
+    # and dumps per-class .npy histograms — evaluate_yolov3.py:214-236)
+    results_json = evaluate_config.get("results_json")
+    if results_json:
+        import json
+
+        def jsonable(v):
+            if isinstance(v, np.ndarray):
+                v = v.ravel().tolist()
+            if isinstance(v, (list, tuple)):
+                return [jsonable(x) for x in v]
+            if isinstance(v, (np.floating, np.integer)):
+                v = v.item()
+            if isinstance(v, float) and np.isnan(v):
+                return None  # NaN is not valid JSON
+            return v
+
+        payload = {
+            "class_names": list(class_names),
+            "evaluate_iou_threshold": float(evaluate_iou_threshold),
+            "nms_iou_threshold": float(nms_iou_threshold),
+            "sweep": [{k: jsonable(v) for k, v in r.items()} for r in results],
+        }
+        with open(results_json, "w") as f:
+            json.dump(payload, f, indent=2)
+        print(f"wrote evaluation summary to {results_json}")
     return results
