@@ -186,3 +186,38 @@ def test_scheduled_adam_hyperparam_mutation(setup):
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(ts_after["params"]))
     )
     assert moved
+
+
+def test_sgd_optimizer_option(setup):
+    """optimizer: sgd — the update equals raw optax.sgd on the same
+    gradient, and a training step still reduces loss."""
+    import jax.numpy as jnp
+    import optax
+
+    from yolov3_tpu.parallel.train_step import make_adam
+
+    spec, params, state = setup
+    opt_got = make_adam(1e-3, optimizer={"type": "sgd", "momentum": 0.9,
+                                         "nesterov": True})
+    opt_ref = optax.sgd(1e-3, momentum=0.9, nesterov=True)
+    g = jax.tree.map(lambda x: jnp.ones_like(x) * 0.5, params)
+    u_ref, _ = opt_ref.update(g, opt_ref.init(params), params)
+    u_got, _ = opt_got.update(g, opt_got.init(params), params)
+    for a, b in zip(jax.tree.leaves(u_ref), jax.tree.leaves(u_got)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    rng = np.random.RandomState(2)
+    grid_sizes = head_grid_sizes(spec, 160)
+    optimizer = make_adam(1e-3, optimizer="sgd")
+    step = make_train_step(spec, ANCHORS, grid_sizes, batch_size=2,
+                           optimizer=optimizer)
+    ts = init_train_state(params, state, optimizer)
+    images, labels = _batch(rng)
+    losses = []
+    for _ in range(6):
+        ts, metrics = step(ts, images, labels)
+        losses.append(float(metrics["total_loss"]))
+    assert losses[-1] < losses[0]
+
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        make_adam(1e-3, optimizer="adagrad")

@@ -171,12 +171,16 @@ class Train:
         # grad_clip_norm (extension): clip the global gradient norm inside
         # the jitted step, before Adam
         grad_clip_norm = kwargs.get("grad_clip_norm")
+        # optimizer (extension): "sgd" / {type: sgd, momentum, nesterov};
+        # default Adam (reference train.py:168)
+        optimizer_conf = kwargs.get("optimizer")
         if lr_schedule:
             from ..parallel.train_step import epoch_learning_rate, make_adam_scheduled
 
-            optimizer = make_adam_scheduled(learning_rate, grad_clip_norm)
+            optimizer = make_adam_scheduled(learning_rate, grad_clip_norm,
+                                            optimizer_conf)
         else:
-            optimizer = make_adam(learning_rate, grad_clip_norm)
+            optimizer = make_adam(learning_rate, grad_clip_norm, optimizer_conf)
         grid_sizes = head_grid_sizes(spec, image_size)
 
         dataset, dataset_size = create_dataset(

@@ -27,34 +27,53 @@ from ..ops.loss import yolo_loss_terms
 from .mesh import batch_sharding, image_sharding, replicated_sharding
 
 
-def _adam_chain(learning_rate, grad_clip_norm=None):
-    adam = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
+def _base_optimizer(learning_rate, optimizer=None):
+    """The reference's Keras-default Adam (train.py:168), or — extension —
+    SGD via ``optimizer: sgd`` / ``{type: sgd, momentum: 0.9, nesterov:
+    true}`` (Darknet's actual training regime, which the reference swapped
+    for Adam)."""
+    conf = ({"type": optimizer} if isinstance(optimizer, str)
+            else dict(optimizer) if optimizer else {"type": "adam"})
+    kind = str(conf.get("type", "adam")).lower()
+    if kind == "adam":
+        return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
+    if kind == "sgd":
+        return optax.sgd(learning_rate,
+                         momentum=float(conf.get("momentum", 0.9)),
+                         nesterov=bool(conf.get("nesterov", False)))
+    raise ValueError(f"unknown optimizer type {kind!r} (adam | sgd)")
+
+
+def _adam_chain(learning_rate, grad_clip_norm=None, optimizer=None):
+    base = _base_optimizer(learning_rate, optimizer)
     if not grad_clip_norm:  # None/0/false-y = off (0 would zero every update)
-        return adam  # bare Adam — keeps pre-clip checkpoints' opt-state shape
+        return base  # bare optimizer — keeps pre-clip checkpoints' opt-state shape
     if float(grad_clip_norm) < 0:
         raise ValueError(f"grad_clip_norm must be positive, got {grad_clip_norm}")
-    return optax.chain(optax.clip_by_global_norm(float(grad_clip_norm)), adam)
+    return optax.chain(optax.clip_by_global_norm(float(grad_clip_norm)), base)
 
 
-def make_adam(learning_rate: float,
-              grad_clip_norm=None) -> optax.GradientTransformation:
+def make_adam(learning_rate: float, grad_clip_norm=None,
+              optimizer=None) -> optax.GradientTransformation:
     """Keras-default Adam (eps 1e-7, vs optax default 1e-8) — train.py:168.
 
     ``grad_clip_norm`` (extension; the reference never clips): clip the
-    GLOBAL gradient norm before Adam. Note toggling it changes the
-    optimizer-state pytree, so flip it only between (not within) runs."""
-    return _adam_chain(learning_rate, grad_clip_norm)
+    GLOBAL gradient norm before the update. ``optimizer`` (extension):
+    "sgd" / {type, momentum, nesterov} swaps the base optimizer. Note
+    toggling either changes the optimizer-state pytree, so flip them only
+    between (not within) runs."""
+    return _adam_chain(learning_rate, grad_clip_norm, optimizer)
 
 
-def make_adam_scheduled(learning_rate: float,
-                        grad_clip_norm=None) -> optax.GradientTransformation:
-    """Keras-default Adam with the learning rate exposed as a mutable
+def make_adam_scheduled(learning_rate: float, grad_clip_norm=None,
+                        optimizer=None) -> optax.GradientTransformation:
+    """Like ``make_adam`` but with the learning rate exposed as a mutable
     hyperparameter (``opt_state.hyperparams["learning_rate"]``) — the train
     app sets it per epoch from an epoch-keyed schedule, which needs no
     steps-per-epoch knowledge (tfrecords dataset sizes are unknown until
     the first epoch) and keeps ONE compiled step."""
     return optax.inject_hyperparams(
-        lambda learning_rate: _adam_chain(learning_rate, grad_clip_norm)
+        lambda learning_rate: _adam_chain(learning_rate, grad_clip_norm, optimizer)
     )(learning_rate=learning_rate)
 
 
