@@ -147,3 +147,39 @@ def test_letterbox_unmap_boxes_inverse():
         fwd[:, 1::2] = (top + boxes[:, 1::2] * nh) / S
         back = letterbox_unmap_boxes(fwd, h, w, S, S)
         np.testing.assert_allclose(back, boxes, atol=1e-5)
+
+
+def test_hsv_conversion_matches_colorsys():
+    """rgb_to_hsv / hsv_to_rgb match python's colorsys on random pixels
+    and round-trip to the original RGB."""
+    import colorsys
+
+    from yolov3_tpu.ops.augment import hsv_to_rgb, rgb_to_hsv
+
+    rng = np.random.RandomState(0)
+    rgb = rng.rand(64, 3).astype(np.float32)
+    rgb[:8] = np.round(rgb[:8])  # hit the degenerate corners (c == 0 etc.)
+    hsv = np.asarray(rgb_to_hsv(jnp.asarray(rgb)))
+    want = np.array([colorsys.rgb_to_hsv(*p) for p in rgb], np.float32)
+    np.testing.assert_allclose(hsv, want, atol=1e-5)
+    back = np.asarray(hsv_to_rgb(jnp.asarray(hsv)))
+    np.testing.assert_allclose(back, rgb, atol=1e-5)
+
+
+def test_hsv_jitter_in_augment_batch():
+    """hue/saturation/exposure keys: disabled = identity; enabled changes
+    pixels, keeps [0,1] range and shapes, leaves labels untouched."""
+    images, labels = _batch(np.random.RandomState(5))
+    out_img, out_lab = augment_batch(
+        images, labels, jax.random.PRNGKey(5), flip=False, scale_jitter=0.0,
+        brightness=0.0, contrast=0.0, hue=0.0, saturation=0.0, exposure=0.0)
+    np.testing.assert_array_equal(np.asarray(out_img), np.asarray(images))
+
+    out_img, out_lab = augment_batch(
+        images, labels, jax.random.PRNGKey(5), flip=False, scale_jitter=0.0,
+        brightness=0.0, contrast=0.0, hue=0.1, saturation=1.5, exposure=1.5)
+    out_img = np.asarray(out_img)
+    assert out_img.shape == images.shape
+    assert out_img.min() >= 0 and out_img.max() <= 1 + 1e-6
+    assert not np.allclose(out_img, np.asarray(images))
+    np.testing.assert_array_equal(np.asarray(out_lab), np.asarray(labels))

@@ -129,16 +129,74 @@ def _jitter_colors(img, key, brightness, contrast):
     return jnp.clip((img - mean) * c + mean + b, 0.0, 1.0)
 
 
+def rgb_to_hsv(img):
+    """(…, 3) RGB in [0,1] → HSV, colorsys-equivalent, vectorized."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    maxc = jnp.max(img, axis=-1)
+    minc = jnp.min(img, axis=-1)
+    c = maxc - minc
+    safe = jnp.where(c > 0, c, 1.0)
+    rc, gc, bc = (maxc - r) / safe, (maxc - g) / safe, (maxc - b) / safe
+    h = jnp.where(maxc == r, bc - gc,
+                  jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(c > 0, (h / 6.0) % 1.0, 0.0)
+    s = jnp.where(maxc > 0, c / jnp.where(maxc > 0, maxc, 1.0), 0.0)
+    return jnp.stack([h, s, maxc], axis=-1)
+
+
+def hsv_to_rgb(img):
+    """(…, 3) HSV → RGB, colorsys-equivalent, vectorized."""
+    h, s, v = img[..., 0], img[..., 1], img[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _jitter_hsv(img, key, hue, saturation, exposure):
+    """Darknet-style HSV jitter: hue shifts by dh ∈ [-hue, hue] (fraction
+    of the wheel, wrapping); saturation and value scale log-uniformly in
+    [1/s, s] (Darknet's rand_scale), clipped to [0, 1]."""
+    kh, ks, kv = jax.random.split(key, 3)
+    hsv = rgb_to_hsv(img)
+    h = hsv[..., 0]
+    s = hsv[..., 1]
+    v = hsv[..., 2]
+    if hue > 0:
+        h = (h + jax.random.uniform(kh, (), minval=-hue, maxval=hue)) % 1.0
+    if saturation > 1:
+        ls = jnp.log(jnp.float32(saturation))
+        s = jnp.clip(s * jnp.exp(jax.random.uniform(ks, (), minval=-ls, maxval=ls)),
+                     0.0, 1.0)
+    if exposure > 1:
+        lv = jnp.log(jnp.float32(exposure))
+        v = jnp.clip(v * jnp.exp(jax.random.uniform(kv, (), minval=-lv, maxval=lv)),
+                     0.0, 1.0)
+    return hsv_to_rgb(jnp.stack([h, s, v], axis=-1))
+
+
 @partial(jax.jit, static_argnames=("flip", "scale_jitter", "brightness",
-                                   "contrast", "mosaic"))
+                                   "contrast", "mosaic", "hue", "saturation",
+                                   "exposure"))
 def augment_batch(images, labels, rng_key, flip: bool = True,
                   scale_jitter: float = 0.25, brightness: float = 0.1,
-                  contrast: float = 0.1, mosaic: float = 0.0):
+                  contrast: float = 0.1, mosaic: float = 0.0,
+                  hue: float = 0.0, saturation: float = 0.0,
+                  exposure: float = 0.0):
     """Augment a batch on device. images (B,H,W,3) in [0,1]; labels (B,M,6).
 
     ``mosaic``: probability per image of replacing it with a 4-image
     composite of its batch neighbors (YOLOv4-style). Runs before the
     per-image transforms.
+    ``hue``/``saturation``/``exposure``: Darknet-style HSV jitter — hue
+    shift fraction (e.g. 0.1), saturation/value log-uniform scale bounds
+    (e.g. 1.5 → [1/1.5, 1.5]); 0 disables each.
 
     Returns (images, labels) with identical shapes.
     """
@@ -147,7 +205,7 @@ def augment_batch(images, labels, rng_key, flip: bool = True,
         images, labels = _mosaic_batch(images, labels, km, float(mosaic))
 
     def one(img, lab, key):
-        kf, ks, ko, kc = jax.random.split(key, 4)
+        kf, ks, ko, kc, kh = jax.random.split(key, 5)
         if flip:
             img, lab = _flip_image_boxes(img, lab, jax.random.bernoulli(kf))
         if scale_jitter > 0:
@@ -155,6 +213,8 @@ def augment_batch(images, labels, rng_key, flip: bool = True,
             omax = 1.0 - s
             ox, oy = jax.random.uniform(ko, (2,), minval=0.0, maxval=1.0) * omax
             img, lab = _scale_shift(img, lab, s, ox, oy)
+        if hue > 0 or saturation > 1 or exposure > 1:
+            img = _jitter_hsv(img, kh, hue, saturation, exposure)
         if brightness > 0 or contrast > 0:
             img = _jitter_colors(img, kc, brightness, contrast)
         return img, lab
