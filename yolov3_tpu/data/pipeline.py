@@ -85,6 +85,15 @@ def create_dataset(dataset_config, image_size, max_bboxes, classes_name_file,
                 cfg["images_dir"], cfg["annotations"], image_size,
                 max_dataset_examples, max_bboxes=max_bboxes,
             )
+    elif source == "voc":  # extension: Pascal VOC XML annotations
+        from .voc import create_voc_dataset
+
+        for idx, split in enumerate(["train", "valid"]):
+            cfg = dataset_config["voc"][split]
+            datasets[idx], sizes[idx] = create_voc_dataset(
+                cfg["images_dir"], cfg["annotations_dir"], image_size,
+                classes_name_file, max_dataset_examples, max_bboxes=max_bboxes,
+            )
     else:  # debug single-image dataset
         for idx in range(2):
             datasets[idx], sizes[idx] = load_debug_dataset(image_size)
