@@ -183,3 +183,11 @@ def test_hsv_jitter_in_augment_batch():
     assert out_img.min() >= 0 and out_img.max() <= 1 + 1e-6
     assert not np.allclose(out_img, np.asarray(images))
     np.testing.assert_array_equal(np.asarray(out_lab), np.asarray(labels))
+
+
+def test_hsv_scale_bounds_below_one_rejected():
+    import pytest
+
+    images, labels = _batch(np.random.RandomState(6))
+    with pytest.raises(ValueError, match="scale BOUND"):
+        augment_batch(images, labels, jax.random.PRNGKey(6), saturation=0.5)

@@ -221,3 +221,12 @@ def test_sgd_optimizer_option(setup):
 
     with pytest.raises(ValueError, match="unknown optimizer"):
         make_adam(1e-3, optimizer="adagrad")
+
+
+def test_optimizer_config_strictness():
+    from yolov3_tpu.parallel.train_step import make_adam
+
+    with pytest.raises(ValueError, match="needs a 'type'"):
+        make_adam(1e-3, optimizer={"momentum": 0.95})
+    with pytest.raises(ValueError, match="unknown sgd optimizer keys"):
+        make_adam(1e-3, optimizer={"type": "sgd", "momentun": 0.95})

@@ -127,3 +127,9 @@ def test_voc_train_e2e(voc_tree, tmp_path, repo_root):
     finally:
         os.chdir(cwd)
     assert os.path.exists(ckpt + ".npz")
+
+
+def test_voc_overflow_raises(voc_tree):
+    img_dir, ann_dir, names = voc_tree
+    with pytest.raises(ValueError, match="exceed max_bboxes"):
+        create_voc_dataset(img_dir, ann_dir, 96, names, max_bboxes=1)

@@ -17,6 +17,7 @@ Extension: reports true mAP@0.5 (APAccumulator), which the reference lacks.
 from __future__ import annotations
 
 import logging
+import os
 
 import jax
 import jax.numpy as jnp
@@ -258,6 +259,10 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
     results_json = evaluate_config.get("results_json")
     if results_json:
         import json
+
+        parent = os.path.dirname(results_json)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
 
         def jsonable(v):
             if isinstance(v, np.ndarray):

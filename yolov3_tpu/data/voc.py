@@ -31,30 +31,42 @@ def _parse_voc_xml(path, class_to_id, max_bboxes):
     size = root.find("size")
     if size is None:
         raise ValueError(f"{path}: missing <size>")
-    w = float(size.findtext("width"))
-    h = float(size.findtext("height"))
+    try:
+        w = float(size.findtext("width"))
+        h = float(size.findtext("height"))
+    except (TypeError, ValueError) as exc:
+        raise ValueError(f"{path}: malformed <size> width/height: {exc}") from exc
     if w <= 0 or h <= 0:
         raise ValueError(f"{path}: bad image size {w}x{h}")
 
+    objects = list(root.iter("object"))
+    if len(objects) > max_bboxes:
+        # same loud failure as the tfrecord / COCO-JSON loaders — silently
+        # dropping gt boxes would inflate recall/mAP with no trace
+        raise ValueError(
+            f"{path}: {len(objects)} objects exceed max_bboxes={max_bboxes}; "
+            f"raise max_bboxes in the run config")
     labels = np.zeros((max_bboxes, 6), np.float32)
-    n = 0
-    for obj in root.iter("object"):
-        if n >= max_bboxes:
-            break
+    for n, obj in enumerate(objects):
         name = (obj.findtext("name") or "").strip()
         if name not in class_to_id:
             raise ValueError(
                 f"{path}: class {name!r} not in the classes file "
                 f"(known: {sorted(class_to_id)[:10]}…)")
         box = obj.find("bndbox")
-        # VOC pixel coordinates are 1-based inclusive
-        xmin = (float(box.findtext("xmin")) - 1.0) / w
-        ymin = (float(box.findtext("ymin")) - 1.0) / h
-        xmax = (float(box.findtext("xmax")) - 1.0) / w
-        ymax = (float(box.findtext("ymax")) - 1.0) / h
+        if box is None:
+            raise ValueError(f"{path}: <object> {name!r} missing <bndbox>")
+        try:
+            # VOC pixel coordinates are 1-based inclusive
+            xmin = (float(box.findtext("xmin")) - 1.0) / w
+            ymin = (float(box.findtext("ymin")) - 1.0) / h
+            xmax = (float(box.findtext("xmax")) - 1.0) / w
+            ymax = (float(box.findtext("ymax")) - 1.0) / h
+        except (TypeError, ValueError) as exc:
+            raise ValueError(f"{path}: malformed <bndbox> for {name!r}: "
+                             f"{exc}") from exc
         labels[n] = [max(xmin, 0.0), max(ymin, 0.0),
                      min(xmax, 1.0), min(ymax, 1.0), 1.0, class_to_id[name]]
-        n += 1
     return filename, labels
 
 

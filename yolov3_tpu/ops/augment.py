@@ -195,11 +195,19 @@ def augment_batch(images, labels, rng_key, flip: bool = True,
     composite of its batch neighbors (YOLOv4-style). Runs before the
     per-image transforms.
     ``hue``/``saturation``/``exposure``: Darknet-style HSV jitter — hue
-    shift fraction (e.g. 0.1), saturation/value log-uniform scale bounds
-    (e.g. 1.5 → [1/1.5, 1.5]); 0 disables each.
+    shift fraction (e.g. 0.1), saturation/value log-uniform SCALE BOUNDS
+    > 1 (e.g. 1.5 → scales drawn from [1/1.5, 1.5], Darknet's rand_scale);
+    0/unset disables each. Bounds in (0, 1] are rejected — a user writing
+    ``saturation: 0.5`` by analogy with brightness would otherwise get a
+    silent no-op.
 
     Returns (images, labels) with identical shapes.
     """
+    for key_name, bound in (("saturation", saturation), ("exposure", exposure)):
+        if 0 < bound <= 1:
+            raise ValueError(
+                f"{key_name} is a scale BOUND > 1 ({key_name}: 1.5 means "
+                f"scales in [1/1.5, 1.5]); got {bound} — use 0 to disable")
     if mosaic > 0:
         km, rng_key = jax.random.split(rng_key)
         images, labels = _mosaic_batch(images, labels, km, float(mosaic))

@@ -34,14 +34,26 @@ def _base_optimizer(learning_rate, optimizer=None):
     for Adam)."""
     conf = ({"type": optimizer} if isinstance(optimizer, str)
             else dict(optimizer) if optimizer else {"type": "adam"})
-    kind = str(conf.get("type", "adam")).lower()
+    if "type" not in conf:
+        raise ValueError(
+            f"optimizer config needs a 'type' key (adam | sgd), got {conf}")
+    kind = str(conf.pop("type")).lower()
+    if kind == "adam":
+        allowed = set()
+    elif kind == "sgd":
+        allowed = {"momentum", "nesterov"}
+    else:
+        raise ValueError(f"unknown optimizer type {kind!r} (adam | sgd)")
+    unknown = set(conf) - allowed
+    if unknown:  # catch typos (e.g. 'momentun') instead of silent defaults
+        raise ValueError(
+            f"unknown {kind} optimizer keys {sorted(unknown)} "
+            f"(allowed: {sorted(allowed)})")
     if kind == "adam":
         return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)
-    if kind == "sgd":
-        return optax.sgd(learning_rate,
-                         momentum=float(conf.get("momentum", 0.9)),
-                         nesterov=bool(conf.get("nesterov", False)))
-    raise ValueError(f"unknown optimizer type {kind!r} (adam | sgd)")
+    return optax.sgd(learning_rate,
+                     momentum=float(conf.get("momentum", 0.9)),
+                     nesterov=bool(conf.get("nesterov", False)))
 
 
 def _adam_chain(learning_rate, grad_clip_norm=None, optimizer=None):
