@@ -180,10 +180,15 @@ def _parse_sub_model(sub_conf: dict, nclasses: int, config_dir: str) -> SubModel
 def parse_model_config(model_config_file: str, nclasses: int) -> ModelSpec:
     """Load a model config into a ModelSpec.
 
-    Accepts both formats: the two-tier model.yaml (+ per-sub-model layer
-    files) and the compact single-file [from, number, module, args] format
+    Accepts three formats: the two-tier model.yaml (+ per-sub-model layer
+    files), the compact single-file [from, number, module, args] format
     (reference core/newparse.py) — dispatched on the presence of
-    ``sub_models_configs``."""
+    ``sub_models_configs`` — and raw Darknet ``.cfg`` files (extension;
+    models/darknet_cfg.py), dispatched on the file extension."""
+    if str(model_config_file).endswith(".cfg"):
+        from .darknet_cfg import parse_darknet_cfg
+
+        return parse_darknet_cfg(model_config_file, nclasses)
     model_config = load_yaml(model_config_file)
     if "sub_models_configs" not in model_config:
         from .compact_spec import parse_compact_model_config
