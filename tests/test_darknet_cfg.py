@@ -241,3 +241,88 @@ def test_cfg_errors(tmp_path):
         "[yolo]\nmask = 0,1,2\nclasses=80\n")
     with pytest.raises(ValueError, match="don't match"):
         parse_model_config(str(mismatch), 3)
+
+
+MINI_RES_CFG = """
+[net]
+width=64
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=2
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=4
+size=1
+stride=1
+pad=1
+activation=leaky
+
+[convolutional]
+batch_normalize=1
+filters=8
+size=3
+stride=1
+pad=1
+activation=leaky
+
+[shortcut]
+from=-3
+activation=linear
+
+[convolutional]
+size=1
+stride=1
+pad=1
+filters=24
+activation=linear
+
+[yolo]
+mask = 0,1,2
+classes=3
+num=3
+"""
+
+MINI_RES_YAML = """
+sub_models_configs:
+  - name: model
+    outputs_layers: [5]
+    layers_config:
+      - {type: convolutional, filters: 8, size: 3, stride: 2, pad: 1, activation: leaky, batch_normalize: 1}
+      - {type: convolutional, filters: 4, size: 1, stride: 1, pad: 1, activation: leaky, batch_normalize: 1}
+      - {type: convolutional, filters: 8, size: 3, stride: 1, pad: 1, activation: leaky, batch_normalize: 1}
+      - {type: shortcut, from: -3, activation: linear}
+      - {type: convolutional, filters: '3*(5+nclasses)', size: 1, stride: 1, pad: 1, activation: linear}
+      - {type: yolo}
+output_stage: model
+"""
+
+
+def test_cfg_residual_block_matches_yaml(tmp_path):
+    """A shortcut (residual) cfg — the construct the full yolov3.cfg is
+    built from — produces the same forward as the equivalent YAML DSL
+    with shared Darknet weights (incl. the stride-2 Darknet padding)."""
+    from yolov3_tpu.io.darknet import load_darknet_weights, save_darknet_weights
+
+    cfg_path = tmp_path / "mini.cfg"
+    cfg_path.write_text(MINI_RES_CFG)
+    yaml_path = tmp_path / "mini.yaml"
+    yaml_path.write_text(MINI_RES_YAML)
+
+    spec_cfg = parse_model_config(str(cfg_path), 3)
+    spec_yaml = parse_model_config(str(yaml_path), 3)
+    params, state = init_model(jax.random.PRNGKey(1), spec_cfg)
+    weights = str(tmp_path / "mini.weights")
+    save_darknet_weights(spec_cfg, params, state, weights)
+    p1, s1 = load_darknet_weights(spec_cfg, weights)
+    p2, s2 = load_darknet_weights(spec_yaml, weights)
+    x = np.random.RandomState(1).rand(2, 32, 32, 3).astype(np.float32)
+    (o1,), _ = apply_model(spec_cfg, p1, s1, x, train=False)
+    (o2,), _ = apply_model(spec_yaml, p2, s2, x, train=False)
+    assert o1.shape == o2.shape
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
