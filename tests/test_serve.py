@@ -287,6 +287,63 @@ def test_serve_letterbox_unmaps_boxes(repo_root, toy_dataset, tmp_path):
         thread.join(timeout=5)
 
 
+def test_sigterm_graceful_shutdown(repo_root, toy_dataset, tmp_path):
+    """SIGTERM (orchestrator stop) drains and exits cleanly (rc 0), not by
+    being killed — the CLI registers a handler that stops the serve loop."""
+    import signal
+    import subprocess
+    import time
+
+    import yaml
+
+    from .conftest import SUITE_XLA_CACHE
+
+    spec = None  # weights: random-init tiny saved once
+    cwd = os.getcwd()
+    os.chdir(repo_root)
+    try:
+        spec = parse_model_config("config/models/yolov3_tiny/model.yaml", nclasses=3)
+    finally:
+        os.chdir(cwd)
+    params, bn_state = init_model(jax.random.PRNGKey(3), spec)
+    weights = str(tmp_path / "sig_weights")
+    save_weights(spec, params, bn_state, weights)
+    cfg = dict(
+        model_config_file=os.path.join(repo_root,
+                                       "config/models/yolov3_tiny/model.yaml"),
+        classes_name_file=os.path.join(toy_dataset, "class.names"),
+        anchors_file=os.path.join(toy_dataset, "anchors/anchors_tiny.txt"),
+        input_weights_path=weights,
+        image_size=IMAGE_SIZE,
+        host="127.0.0.1", port=0, batch_buckets=[1], batch_timeout_ms=1,
+        warmup=True,
+    )
+    cfg_path = str(tmp_path / "serve_cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    env = dict(os.environ)
+    env["YOLOV3_TPU_PLATFORM"] = "cpu"
+    env["YOLOV3_TPU_COMPILE_CACHE"] = SUITE_XLA_CACHE
+    proc = subprocess.Popen(
+        ["python", "serve.py", "--config", cfg_path], cwd=repo_root, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        deadline = time.monotonic() + 180
+        for line in proc.stdout:
+            if "serving on http" in line:
+                break
+            if time.monotonic() > deadline:
+                raise TimeoutError("server never came up")
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=30)
+        assert rc == 0, f"expected clean exit, got rc={rc}"
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=10)
+
+
 def test_metrics_prometheus(server):
     url, app = server
     png, _ = _png_bytes(np.random.RandomState(4))

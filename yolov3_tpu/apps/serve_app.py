@@ -509,11 +509,24 @@ class Serve:
         httpd = create_server(host, int(port), app)
         log.info("serving on http://%s:%d (POST /detect)", host, httpd.server_address[1])
         if serve_forever:
+            import signal
+            import threading
+
+            def _drain(signum, frame):
+                # SIGTERM (the normal orchestrator stop): stop accepting,
+                # let in-flight batches finish, then exit serve_forever.
+                # shutdown() blocks until the serve loop exits, so it must
+                # run off the main thread the loop occupies.
+                log.info("signal %d: draining and shutting down", signum)
+                threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+            previous = signal.signal(signal.SIGTERM, _drain)
             try:
                 httpd.serve_forever()
             except KeyboardInterrupt:
                 pass
             finally:
+                signal.signal(signal.SIGTERM, previous)
                 httpd.shutdown()
                 app.shutdown()
         return httpd, app
