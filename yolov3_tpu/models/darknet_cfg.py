@@ -52,6 +52,118 @@ def _int_list(value: str):
     return [int(v.strip()) for v in value.split(",") if v.strip()]
 
 
+def write_darknet_cfg(spec: ModelSpec, path: str, image_size: int = 416,
+                      anchors=None):
+    """The inverse: emit a ModelSpec (any of the three config formats) as
+    a Darknet ``.cfg``. Sub-models flatten to one global layer list, so
+    route/shortcut references must be rewritten from per-sub-model indices
+    to global ones; sub-model input edges become [route] sections (a
+    Darknet-native construct). Round-trip parity is pinned by
+    tests/test_darknet_cfg.py for all three bundled families."""
+    lines = [f"[net]", f"width={int(image_size)}", f"height={int(image_size)}",
+             "channels=3", ""]
+    anchors_str = None
+    if anchors is not None:
+        import numpy as np
+
+        flat = np.asarray(anchors, np.float32).reshape(-1, 2) * image_size
+        anchors_str = ",  ".join(f"{int(round(w))},{int(round(h))}"
+                                 for w, h in flat)
+
+    sm_by_name = {sm.name: sm for sm in spec.sub_models}
+
+    def _is_image_route(sm, layer):
+        """Route whose only source is the global image input (the edge
+        sub-model's leading route) — implicit in Darknet, not emitted."""
+        if layer.kind != "route" or sm.inputs is not None:
+            return False
+        source = dict(layer["source"])
+        return list(source) == ["inputs"]
+
+    # assign a global Darknet section index to every emitted layer, in
+    # sub-model config order (the interpreter's execution order); skipped
+    # image-input routes map to the previous section (identity in Darknet)
+    global_idx = {}
+    pos = 0
+    for sm in spec.sub_models:
+        for i, layer in enumerate(sm.layers):
+            if _is_image_route(sm, layer):
+                global_idx[(sm.name, i)] = pos - 1  # only valid mid-chain
+            else:
+                global_idx[(sm.name, i)] = pos
+                pos += 1
+
+    def tap_global(src_name, entry_index):
+        src = sm_by_name[src_name]
+        out_local = src.outputs_layers[entry_index]
+        if out_local < 0:
+            out_local += len(src.layers)
+        return global_idx[(src_name, out_local)]
+
+    yolo_count = 0
+    n_yolo = sum(1 for sm in spec.sub_models for l in sm.layers
+                 if l.kind == "yolo")
+    for sm in spec.sub_models:
+        for local, layer in enumerate(sm.layers):
+            if _is_image_route(sm, layer):
+                if local != 0:
+                    raise ValueError(
+                        f"{sm.name}: image-input route at layer {local} — "
+                        f"only a leading one is expressible in a cfg")
+                continue
+            pos = global_idx[(sm.name, local)]
+            if layer.kind == "convolutional":
+                lines.append("[convolutional]")
+                if layer.get("batch_normalize"):
+                    lines.append("batch_normalize=1")
+                lines += [f"filters={layer['filters']}",
+                          f"size={layer['size']}",
+                          f"stride={layer['stride']}",
+                          f"pad={layer.get('pad', 1)}",
+                          f"activation={layer.get('activation', 'linear')}", ""]
+            elif layer.kind == "shortcut":
+                frm = layer["from"]
+                target_local = frm if frm >= 0 else local + frm
+                frm_global = global_idx[(sm.name, target_local)]
+                lines += ["[shortcut]", f"from={frm_global - pos}",
+                          "activation=linear", ""]
+            elif layer.kind == "route":
+                source = dict(layer["source"])
+                refs = []
+                for r in source.get("layers", ()):  # local indices
+                    target_local = int(r) if int(r) >= 0 else local + int(r)
+                    refs.append(global_idx[(sm.name, target_local)])
+                for ei in source.get("inputs", ()):
+                    src_name, entry = sm.inputs[int(ei)]
+                    refs.append(tap_global(src_name, entry))
+                lines += ["[route]",
+                          "layers = " + ",".join(str(r) for r in refs), ""]
+            elif layer.kind == "upsample":
+                lines += ["[upsample]", f"stride={layer['stride']}", ""]
+            elif layer.kind == "maxpool":
+                lines += ["[maxpool]", f"size={layer['size_xy'][0]}",
+                          f"stride={layer['stride_xy'][0]}", ""]
+            elif layer.kind == "yolo":
+                # mask rows index the anchors= line we emit, which is OUR
+                # anchors-file order: row block i pairs with head i
+                # (self-consistent; decode pairs anchors_table[i] with
+                # output i — ops/decode.py)
+                mask_base = yolo_count * 3
+                lines.append("[yolo]")
+                lines.append(
+                    f"mask = {mask_base},{mask_base + 1},{mask_base + 2}")
+                if anchors_str:
+                    lines.append(f"anchors = {anchors_str}")
+                lines += [f"classes={spec.nclasses}", f"num={3 * n_yolo}", ""]
+                yolo_count += 1
+            else:
+                raise ValueError(f"cannot emit layer kind {layer.kind!r}")
+
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    return path
+
+
 def parse_darknet_cfg(path: str, nclasses: int) -> ModelSpec:
     sections = _read_sections(path)
     layer_sections = [(name, conf) for name, conf in sections
