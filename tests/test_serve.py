@@ -446,3 +446,35 @@ def test_healthz_and_errors(server):
     with pytest.raises(urllib.error.HTTPError) as err:
         urllib.request.urlopen(f"{url}/nope", timeout=30)
     assert err.value.code == 404
+
+
+def test_detection_client(server):
+    """yolov3_tpu.client.DetectionClient against the live server: all
+    three image input forms produce the same detections; health/stats/
+    metrics round-trip."""
+    import tempfile
+
+    from yolov3_tpu.client import DetectionClient
+
+    url, app = server
+    client = DetectionClient(url)
+    png, arr = _png_bytes(np.random.RandomState(6))
+
+    r_bytes = client.detect(png)
+    with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
+        f.write(png)
+        path = f.name
+    r_path = client.detect(path)
+    r_array = client.detect(arr)  # uint8 numpy array → PNG encode
+
+    for r in (r_bytes, r_path, r_array):
+        assert r["width"] == arr.shape[1] and r["height"] == arr.shape[0]
+    assert len(r_bytes["detections"]) == len(r_path["detections"]) \
+        == len(r_array["detections"])
+    for a, b in zip(r_bytes["detections"], r_array["detections"]):
+        assert a["class_id"] == b["class_id"]
+        assert a["score"] == pytest.approx(b["score"], abs=1e-5)
+
+    assert client.health()["status"] == "ok"
+    assert client.stats()["requests"] >= 3
+    assert "yolov3_requests_total" in client.metrics()

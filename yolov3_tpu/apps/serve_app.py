@@ -507,7 +507,7 @@ class Serve:
                      time.monotonic() - t0)
 
         httpd = create_server(host, int(port), app)
-        log.info("serving on http://%s:%d (POST /detect)", host, httpd.server_address[1])
+        previous = None
         if serve_forever:
             import signal
             import threading
@@ -520,7 +520,11 @@ class Serve:
                 log.info("signal %d: draining and shutting down", signum)
                 threading.Thread(target=httpd.shutdown, daemon=True).start()
 
+            # register BEFORE announcing readiness: an orchestrator that
+            # reacts to the log line must never beat the handler
             previous = signal.signal(signal.SIGTERM, _drain)
+        log.info("serving on http://%s:%d (POST /detect)", host, httpd.server_address[1])
+        if serve_forever:
             try:
                 httpd.serve_forever()
             except KeyboardInterrupt:
