@@ -119,3 +119,120 @@ def test_qat_train_step_runs_and_learns(tiny):
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(ts["params"]))
     )
     assert moved
+
+
+# ---------------------------------------------------------------------------
+# Activation QAT (qat: 'full')
+# ---------------------------------------------------------------------------
+
+
+def test_fake_quant_activation_lattice():
+    """Forward snaps to the per-tensor symmetric int8 lattice with the
+    serving scheme: dynamic absmax/127 scale, round-half-even, clip ±127."""
+    from yolov3_tpu.ops.quantize import fake_quant_activation
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 4)) * 3.0
+    got = np.asarray(fake_quant_activation(x))
+    x32 = np.asarray(x, np.float32)
+    scale = max(np.abs(x32).max(), 1e-12) / 127.0
+    want = np.clip(np.round(x32 / scale), -127, 127) * scale
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+    # integers on the lattice
+    ints = got / scale
+    np.testing.assert_allclose(ints, np.round(ints), atol=1e-4)
+
+
+def test_fake_quant_activation_ste_gradient():
+    from yolov3_tpu.ops.quantize import fake_quant_activation
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 6))
+    g = jax.grad(lambda v: jnp.sum(fake_quant_activation(v) * 3.0))(x)
+    np.testing.assert_allclose(np.asarray(g), 3.0 * np.ones_like(x), rtol=1e-6)
+
+
+def test_activation_transform_skips_head_convs(tiny):
+    from yolov3_tpu.ops.quantize import make_activation_fake_quant
+
+    spec, _, _ = tiny
+    transform = make_activation_fake_quant(spec)
+    x = jnp.asarray(np.random.RandomState(3).randn(1, 4, 4, 8), jnp.float32)
+    sm_name, key = next(iter(head_conv_taps(spec)))
+    assert transform(sm_name, key, x) is x  # head conv input untouched
+    first = spec.sub_models[0]
+    quanted = transform(first.name, "layer0", x)
+    assert quanted is not x
+    assert not np.array_equal(np.asarray(quanted), np.asarray(x))
+
+
+def test_full_qat_forward_differs_from_weights_only(tiny):
+    """qat='full' must actually perturb the training forward vs
+    weights-only QAT (the activation rounding reaches the loss)."""
+    from yolov3_tpu.models.network import head_grid_sizes
+    from yolov3_tpu.parallel.train_step import _loss_and_metrics
+
+    spec, params, state = tiny
+    image_size, batch = 96, 2
+    grids = head_grid_sizes(spec, image_size)
+    anchors = jnp.asarray(
+        np.abs(np.random.RandomState(0).randn(len(grids), 3, 2)) * 0.2 + 0.05,
+        jnp.float32)
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.rand(batch, image_size, image_size, 3), jnp.float32)
+    labels = np.zeros((batch, 4, 6), np.float32)
+    labels[:, 0] = [0.3, 0.3, 0.6, 0.6, 1, 1]
+    labels = jnp.asarray(labels)
+
+    def loss(mode):
+        total, _ = _loss_and_metrics(
+            spec, params, state, images, labels, anchors, grids,
+            batch, (), True, qat=mode)
+        return float(total)
+
+    lw, lf = loss("weights"), loss("full")
+    assert np.isfinite(lw) and np.isfinite(lf)
+    assert lw != lf
+
+
+def test_full_qat_train_step_runs_and_learns(tiny):
+    from yolov3_tpu.models.network import head_grid_sizes
+    from yolov3_tpu.parallel.train_step import (init_train_state, make_adam,
+                                                make_train_step)
+
+    spec, params, state = tiny
+    image_size, batch = 96, 4
+    grids = head_grid_sizes(spec, image_size)
+    anchors = np.abs(np.random.RandomState(0).randn(len(grids), 3, 2)) * 0.2 + 0.05
+    optimizer = make_adam(1e-3)
+    step = make_train_step(spec, anchors.astype(np.float32), grids, batch,
+                           optimizer, qat="full")
+    ts = init_train_state(params, state, optimizer)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, image_size, image_size, 3), jnp.float32)
+    labels = np.zeros((batch, 4, 6), np.float32)
+    labels[:, 0] = [0.3, 0.3, 0.6, 0.6, 1, 1]
+    labels = jnp.asarray(labels)
+
+    losses = []
+    for _ in range(8):
+        ts, metrics = step(ts, images, labels)
+        losses.append(float(metrics["total_loss"]))
+    assert all(np.isfinite(losses))
+    assert min(losses[4:]) < losses[0]
+
+
+def test_qat_mode_parsing():
+    """Config vocabulary: true→'weights', 'full'→'full', dict forms,
+    bad strings rejected."""
+    from yolov3_tpu.apps.train_app import parse_qat_mode
+
+    assert parse_qat_mode(False) is False
+    assert parse_qat_mode(None) is False
+    assert parse_qat_mode(True) == "weights"
+    assert parse_qat_mode("weights") == "weights"
+    assert parse_qat_mode("Full") == "full"
+    assert parse_qat_mode({"weights": True}) == "weights"
+    assert parse_qat_mode({"weights": True, "activations": True}) == "full"
+    assert parse_qat_mode({"activations": True}) == "full"
+    assert parse_qat_mode({"weights": False}) is False
+    with pytest.raises(ValueError):
+        parse_qat_mode("int8")

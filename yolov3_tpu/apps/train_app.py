@@ -38,6 +38,25 @@ from ..io.resolve import load_weights, save_weights
 log = logging.getLogger(__name__)
 
 
+def parse_qat_mode(qat_conf):
+    """Normalize the `qat` config key (extension) to False | 'weights' | 'full'.
+
+    `true`/`'weights'` → weight-only QAT; `'full'` (or
+    `{weights: true, activations: true}`) → also fake-quant conv-input
+    activations on the int8_chain serving lattice (parallel/train_step.py).
+    """
+    if isinstance(qat_conf, dict):
+        if qat_conf.get("activations"):
+            return "full"
+        return "weights" if qat_conf.get("weights", True) else False
+    if isinstance(qat_conf, str):
+        mode = qat_conf.strip().lower()
+        if mode not in ("weights", "full"):
+            raise ValueError(f"qat must be true, 'weights', or 'full', got {qat_conf!r}")
+        return mode
+    return "weights" if qat_conf else False
+
+
 def model_summary(spec, params, image_size=None) -> str:
     """Keras-summary-style dump: per-sub-model layer table with kinds,
     per-conv param counts, and (when image_size is given) output shapes
@@ -293,6 +312,10 @@ class Train:
         else:
             ema_conf, ema_decay = None, None
 
+        qat_mode = parse_qat_mode(kwargs.get("qat", False))
+        if qat_mode:
+            log.info(f"qat: {qat_mode}")
+
         def build_step_spec(size):
             # space-to-depth stem reschedule: spec-only, params/grads/
             # checkpoints identical (ops/s2d.py::s2d_stem_train);
@@ -323,10 +346,12 @@ class Train:
                          else {} if augmentation else None),
                 seed=kwargs.get("seed", 0),
                 accum_steps=accum_steps,
-                # weight-only QAT: forward on the int8 weight lattice, STE
-                # gradients to the fp32 masters — trains against the exact
-                # weight error the int8 serving tier realizes (ops/quantize.py)
-                qat=bool(kwargs.get("qat", False)),
+                # QAT: forward on the int8 serving lattice, STE gradients to
+                # the fp32 masters — trains against the exact error the int8
+                # serving tier realizes (ops/quantize.py). 'weights'/true =
+                # kernels only; 'full' = kernels + conv-input activations
+                # (the int8_chain tier's rounding)
+                qat=qat_mode,
                 ema_decay=ema_decay,
                 ema_warmup=bool(ema_conf.get("warmup", True)) if ema_conf is not None else True,
             )

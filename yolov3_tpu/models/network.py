@@ -63,6 +63,7 @@ def _apply_sub_model(
     conv_observer=None,
     out_observer=None,
     fp_dtype=None,
+    conv_input_transform=None,
 ):
     """Run one sub-model's layer list; returns (selected outputs, new bn state).
 
@@ -90,6 +91,11 @@ def _apply_sub_model(
             p = sm_params[key]
             if conv_observer is not None:
                 conv_observer(sm.name, key, _deq(x, fp_dtype))
+            if conv_input_transform is not None:
+                # activation-QAT hook: returns a (possibly fake-quanted)
+                # replacement for this conv's input (fp path only — QAT
+                # params never carry kernel_q)
+                x = conv_input_transform(sm.name, key, _deq(x, fp_dtype))
             leaky = layer.get("activation") == "leaky"
             ep = layer.get("explicit_pad")
             if "kernel_q" in p:
@@ -154,7 +160,7 @@ def _apply_sub_model(
 
 def apply_model(spec: ModelSpec, params, state, images, train: bool = False,
                 bn_frozen: tuple = (), remat: bool = False, conv_observer=None,
-                out_observer=None):
+                out_observer=None, conv_input_transform=None):
     """Forward pass. Returns (list of head outputs [B,g,g,3,5+nc], new_state).
 
     ``images``: NHWC float batch. Output order = config order of sub-models
@@ -182,7 +188,8 @@ def apply_model(spec: ModelSpec, params, state, images, train: bool = False,
                                     spec.nclasses, train, _bn,
                                     conv_observer=conv_observer,
                                     out_observer=out_observer,
-                                    fp_dtype=fp_dtype)
+                                    fp_dtype=fp_dtype,
+                                    conv_input_transform=conv_input_transform)
 
         if remat and train:
             run = jax.checkpoint(run)

@@ -173,6 +173,39 @@ def fake_quant_kernel(kernel):
     return kernel + jax.lax.stop_gradient(q.astype(kernel.dtype) - kernel)
 
 
+def fake_quant_activation(x):
+    """STE fake-quant of one activation tensor on the serving int8 lattice.
+
+    Forward: per-tensor symmetric int8 — dynamic absmax/127 scale,
+    round-half-even, clip ±127 — the same lattice ``conv2d_int8`` realizes
+    on conv inputs at serving time (there the scale is the *calibrated*
+    absmax; here it is the batch's own, the standard QAT approximation —
+    serving recalibrates on the trained weights anyway, so what training
+    must adapt to is the rounding noise, not the exact scale value).
+    Backward: identity (STE). Scale math in fp32 regardless of the
+    activation dtype (mirrors ``fake_quant_kernel``).
+    """
+    x32 = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(x32 / scale), -127, 127) * scale
+    return x + jax.lax.stop_gradient(q.astype(x.dtype) - x)
+
+
+def make_activation_fake_quant(spec, skip_final_convs: bool = True):
+    """→ ``transform(sm_name, layer_key, x)`` for apply_model's
+    ``conv_input_transform``: fake-quants every conv input the int8 serving
+    tier would quantize; the inputs of the convs feeding yolo layers pass
+    through untouched (mirrors ``quantize_params``' skip_final_convs)."""
+    final = head_conv_taps(spec) if skip_final_convs else set()
+
+    def transform(sm_name, layer_key, x):
+        if (sm_name, layer_key) in final:
+            return x
+        return fake_quant_activation(x)
+
+    return transform
+
+
 def fake_quant_weights(spec, params, skip_final_convs: bool = True):
     """Fake-quant every conv kernel the int8 serving tier would quantize.
 

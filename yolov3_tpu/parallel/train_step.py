@@ -156,14 +156,21 @@ def _loss_and_metrics(spec, params, bn_state, images, labels, anchors_table,
                       compute_dtype=None, remat=False, qat=False):
     y_true = assign_targets(labels, anchors_table, grid_sizes)
     params_master = params  # L2 regularizes the real weights, QAT or not
+    act_transform = None
     if qat:
-        # weight-only QAT: forward sees the int8 weight lattice the serving
-        # tier will realize; gradients flow straight-through to the fp32
-        # masters (ops/quantize.py::fake_quant_weights). Applied BEFORE the
+        # QAT: forward sees the int8 weight lattice the serving tier will
+        # realize; gradients flow straight-through to the fp32 masters
+        # (ops/quantize.py::fake_quant_weights). Applied BEFORE the
         # mixed-precision cast so the rounding happens in fp32.
-        from ..ops.quantize import fake_quant_weights
+        # qat='full' additionally fake-quants every conv input on the
+        # serving activation lattice (dynamic per-batch absmax; serving
+        # recalibrates scales on the trained weights) — trains against the
+        # int8_chain tier's activation rounding too.
+        from ..ops.quantize import fake_quant_weights, make_activation_fake_quant
 
         params = fake_quant_weights(spec, params)
+        if qat == "full":
+            act_transform = make_activation_fake_quant(spec)
     if compute_dtype is not None:
         # mixed precision: bf16 compute against fp32 master weights — the
         # cast sits inside the differentiated graph, so gradients come back
@@ -173,7 +180,8 @@ def _loss_and_metrics(spec, params, bn_state, images, labels, anchors_table,
     else:
         params_c = params
     outputs, new_bn = apply_model(spec, params_c, bn_state, images,
-                                  train=train, bn_frozen=bn_frozen, remat=remat)
+                                  train=train, bn_frozen=bn_frozen, remat=remat,
+                                  conv_input_transform=act_transform)
     terms = jnp.stack(
         [
             yolo_loss_terms(t, p, anchors_table[i], spec.nclasses) / batch_size
@@ -195,7 +203,7 @@ def _loss_and_metrics(spec, params, bn_state, images, labels, anchors_table,
 def make_train_step(spec, anchors_table, grid_sizes, batch_size,
                     optimizer, mesh=None, bn_frozen=(), trainable_mask=None,
                     compute_dtype=None, remat=False, augment=None, seed=0,
-                    accum_steps: int = 1, qat: bool = False,
+                    accum_steps: int = 1, qat=False,
                     ema_decay=None, ema_warmup: bool = True):
     """Returns step(train_state, images, labels) → (train_state, metrics).
 
@@ -210,6 +218,9 @@ def make_train_step(spec, anchors_table, grid_sizes, batch_size,
     capacity (activations are per-microbatch; BN statistics too, so
     BN behaves like microbatch-local BN — same caveat as any
     grad-accumulation scheme).
+    ``qat``: False | True/'weights' (fake-quant conv kernels on the int8
+    serving lattice, STE) | 'full' (weights + per-batch activation
+    fake-quant on every conv input the int8_chain tier quantizes).
     ``ema_decay``: maintain an exponential moving average of params + BN
     statistics in ``train_state["ema"]`` (init_train_state(ema=True)),
     updated inside the same jit — two fused axpy sweeps, no extra passes.
