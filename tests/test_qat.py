@@ -236,3 +236,46 @@ def test_qat_mode_parsing():
     assert parse_qat_mode({"weights": False}) is False
     with pytest.raises(ValueError):
         parse_qat_mode("int8")
+
+
+def test_full_qat_then_int8_chain_serving(tiny):
+    """The workflow qat='full' exists for: train a few steps on the full
+    lattice, PTQ-quantize the result to the int8_chain serving tier, and
+    check the quantized forward tracks the fp forward of the SAME trained
+    weights (the QAT-trained network must at minimum survive its own
+    serving quantization with bounded output error)."""
+    from yolov3_tpu.models import apply_model, fold_batch_norm
+    from yolov3_tpu.models.network import head_grid_sizes
+    from yolov3_tpu.ops.quantize import calibrate_scales, quantize_params
+    from yolov3_tpu.parallel.train_step import (init_train_state, make_adam,
+                                                make_train_step)
+
+    spec, params, state = tiny
+    image_size, batch = 96, 2
+    grids = head_grid_sizes(spec, image_size)
+    anchors = np.abs(np.random.RandomState(0).randn(len(grids), 3, 2)) * 0.2 + 0.05
+    step = make_train_step(spec, anchors.astype(np.float32), grids, batch,
+                           make_adam(1e-3), qat="full")
+    ts = init_train_state(params, state, make_adam(1e-3))
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(batch, image_size, image_size, 3), jnp.float32)
+    labels = np.zeros((batch, 4, 6), np.float32)
+    labels[:, 0] = [0.3, 0.3, 0.6, 0.6, 1, 1]
+    labels = jnp.asarray(labels)
+    for _ in range(3):
+        ts, _ = step(ts, images, labels)
+
+    folded = fold_batch_norm(ts["params"], ts["bn_state"])
+    calib = [np.asarray(images)]
+    in_am, out_am = calibrate_scales(spec, folded, calib)
+    qparams = quantize_params(spec, folded, in_am, out_absmax=out_am)
+
+    fp_outs, _ = apply_model(spec, folded, {}, images, train=False)
+    q_outs, _ = apply_model(spec, qparams, {}, images, train=False)
+    for fp, q in zip(fp_outs, q_outs):
+        fp, q = np.asarray(fp, np.float32), np.asarray(q, np.float32)
+        assert np.isfinite(q).all()
+        # raw head logits; int8 error stays bounded relative to the
+        # logit spread (loose functional gate, not a bit-exactness claim)
+        span = max(fp.max() - fp.min(), 1.0)
+        assert np.abs(fp - q).max() / span < 0.15
