@@ -234,8 +234,54 @@ def test_qat_mode_parsing():
     assert parse_qat_mode({"weights": True, "activations": True}) == "full"
     assert parse_qat_mode({"activations": True}) == "full"
     assert parse_qat_mode({"weights": False}) is False
+    # activations-only: weights explicitly off must NOT silently fake-quant
+    # them (round-2 advisor finding)
+    assert parse_qat_mode("activations") == "activations"
+    assert parse_qat_mode({"weights": False, "activations": True}) == "activations"
     with pytest.raises(ValueError):
         parse_qat_mode("int8")
+
+    from yolov3_tpu.apps.train_app import parse_qat_min_k2cin
+
+    assert parse_qat_min_k2cin(True) == 0
+    assert parse_qat_min_k2cin({"weights": True}) == 0
+    assert parse_qat_min_k2cin({"weights": True, "min_k2cin": 2048}) == 2048
+
+
+def test_activation_fake_quant_min_k2cin_matches_serving_skips(tiny):
+    """With a min_k2cin threshold (serving's mixed-precision mode), the
+    activation-QAT transform must pass through exactly the conv inputs the
+    serving tier leaves in bf16 — shared skip set via quantized_conv_skips
+    (round-2 advisor finding: the lattice must match the deployed config)."""
+    from yolov3_tpu.ops.quantize import make_activation_fake_quant, quantized_conv_skips
+
+    spec, params, state = tiny
+    thresh = 9 * 128  # skips the small-contraction stem convs on tiny
+    skips = quantized_conv_skips(spec, min_k2cin=thresh)
+    assert skips > quantized_conv_skips(spec)  # strictly more than head taps
+
+    transform = make_activation_fake_quant(spec, min_k2cin=thresh)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 8, 4), jnp.float32)
+    for sm in spec.sub_models:
+        for i, layer in enumerate(sm.layers):
+            if layer.kind != "convolutional":
+                continue
+            key = f"layer{i}"
+            y = transform(sm.name, key, x)
+            if (sm.name, key) in skips:
+                assert y is x  # untouched, same object
+            else:
+                assert not np.array_equal(np.asarray(y), np.asarray(x))
+
+    # weight side honors the same threshold
+    fq = fake_quant_weights(spec, params, min_k2cin=thresh)
+    for sm in spec.sub_models:
+        for key, entry in params[sm.name].items():
+            if "kernel" not in entry:
+                continue
+            same = np.array_equal(np.asarray(fq[sm.name][key]["kernel"]),
+                                  np.asarray(entry["kernel"]))
+            assert same == ((sm.name, key) in skips)
 
 
 def test_full_qat_then_int8_chain_serving(tiny):

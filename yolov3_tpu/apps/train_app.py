@@ -39,22 +39,37 @@ log = logging.getLogger(__name__)
 
 
 def parse_qat_mode(qat_conf):
-    """Normalize the `qat` config key (extension) to False | 'weights' | 'full'.
+    """Normalize the `qat` config key (extension) to
+    False | 'weights' | 'activations' | 'full'.
 
     `true`/`'weights'` → weight-only QAT; `'full'` (or
     `{weights: true, activations: true}`) → also fake-quant conv-input
-    activations on the int8_chain serving lattice (parallel/train_step.py).
+    activations on the int8_chain serving lattice (parallel/train_step.py);
+    `'activations'` (or `{weights: false, activations: true}`) →
+    activation fake-quant only, weights stay fp.
     """
     if isinstance(qat_conf, dict):
-        if qat_conf.get("activations"):
-            return "full"
-        return "weights" if qat_conf.get("weights", True) else False
+        weights = qat_conf.get("weights", True)
+        activations = qat_conf.get("activations", False)
+        if activations:
+            return "full" if weights else "activations"
+        return "weights" if weights else False
     if isinstance(qat_conf, str):
         mode = qat_conf.strip().lower()
-        if mode not in ("weights", "full"):
-            raise ValueError(f"qat must be true, 'weights', or 'full', got {qat_conf!r}")
+        if mode not in ("weights", "activations", "full"):
+            raise ValueError(
+                f"qat must be true, 'weights', 'activations', or 'full', got {qat_conf!r}")
         return mode
     return "weights" if qat_conf else False
+
+
+def parse_qat_min_k2cin(qat_conf) -> int:
+    """`qat: {..., min_k2cin: N}` — mirror the serving tier's
+    mixed-precision threshold (quantize_params' min_k2cin) in the QAT
+    lattice, so training skips the same convs serving keeps in bf16."""
+    if isinstance(qat_conf, dict):
+        return int(qat_conf.get("min_k2cin", 0) or 0)
+    return 0
 
 
 def model_summary(spec, params, image_size=None) -> str:
@@ -350,8 +365,10 @@ class Train:
                 # the fp32 masters — trains against the exact error the int8
                 # serving tier realizes (ops/quantize.py). 'weights'/true =
                 # kernels only; 'full' = kernels + conv-input activations
-                # (the int8_chain tier's rounding)
+                # (the int8_chain tier's rounding); 'activations' =
+                # conv-input rounding only, weights fp
                 qat=qat_mode,
+                qat_min_k2cin=parse_qat_min_k2cin(kwargs.get("qat", False)),
                 ema_decay=ema_decay,
                 ema_warmup=bool(ema_conf.get("warmup", True)) if ema_conf is not None else True,
             )

@@ -91,10 +91,12 @@ def _apply_sub_model(
             p = sm_params[key]
             if conv_observer is not None:
                 conv_observer(sm.name, key, _deq(x, fp_dtype))
-            if conv_input_transform is not None:
+            if conv_input_transform is not None and "kernel_q" not in p:
                 # activation-QAT hook: returns a (possibly fake-quanted)
-                # replacement for this conv's input (fp path only — QAT
-                # params never carry kernel_q)
+                # replacement for this conv's input. fp path only — a
+                # quantized conv consumes the QAct directly, and _deq here
+                # would silently break the int8 chain, so the fp-only
+                # contract is structural, not a comment.
                 x = conv_input_transform(sm.name, key, _deq(x, fp_dtype))
             leaky = layer.get("activation") == "leaky"
             ep = layer.get("explicit_pad")

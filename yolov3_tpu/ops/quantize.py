@@ -81,6 +81,28 @@ def calibrate_activation_scales(spec, folded_params, images_batches):
     return calibrate_scales(spec, folded_params, images_batches)[0]
 
 
+def quantized_conv_skips(spec, skip_final_convs: bool = True, min_k2cin: int = 0):
+    """Set of ``(sm_name, layer_key)`` conv taps the int8 serving tier
+    leaves in fp: the final head convs (``skip_final_convs``) plus — in the
+    mixed-precision serving mode — convs whose contraction size
+    kernel²·Cin is below ``min_k2cin``. Shared by ``quantize_params`` /
+    ``fake_quant_weights`` / ``make_activation_fake_quant`` so the QAT
+    training lattice matches the actual serving configuration."""
+    skips = head_conv_taps(spec) if skip_final_convs else set()
+    if min_k2cin:
+        from ..models.network import _infer_channels
+
+        per_layer = _infer_channels(spec)
+        for sm in spec.sub_models:
+            for i, layer in enumerate(sm.layers):
+                if layer.kind != "convolutional":
+                    continue
+                cin, _ = per_layer[(sm.name, i)]
+                if layer["size"] ** 2 * cin < min_k2cin:
+                    skips.add((sm.name, f"layer{i}"))
+    return skips
+
+
 def quantize_params(spec, folded_params, act_absmax, skip_final_convs: bool = True,
                     out_absmax=None, min_k2cin: int = 0):
     """BN-folded params → int8-quantized params.
@@ -102,18 +124,7 @@ def quantize_params(spec, folded_params, act_absmax, skip_final_convs: bool = Tr
     more than the halved MXU time saves, so high-resolution/low-channel
     stem layers run faster in bf16 (mixed-precision inference).
     """
-    final_convs = head_conv_taps(spec) if skip_final_convs else set()
-    if min_k2cin:
-        from ..models.network import _infer_channels
-
-        per_layer = _infer_channels(spec)
-        for sm in spec.sub_models:
-            for i, layer in enumerate(sm.layers):
-                if layer.kind != "convolutional":
-                    continue
-                cin, _ = per_layer[(sm.name, i)]
-                if layer["size"] ** 2 * cin < min_k2cin:
-                    final_convs.add((sm.name, f"layer{i}"))
+    final_convs = quantized_conv_skips(spec, skip_final_convs, min_k2cin)
 
     qparams = {}
     for sm in spec.sub_models:
@@ -191,12 +202,15 @@ def fake_quant_activation(x):
     return x + jax.lax.stop_gradient(q.astype(x.dtype) - x)
 
 
-def make_activation_fake_quant(spec, skip_final_convs: bool = True):
+def make_activation_fake_quant(spec, skip_final_convs: bool = True,
+                               min_k2cin: int = 0):
     """→ ``transform(sm_name, layer_key, x)`` for apply_model's
     ``conv_input_transform``: fake-quants every conv input the int8 serving
     tier would quantize; the inputs of the convs feeding yolo layers pass
-    through untouched (mirrors ``quantize_params``' skip_final_convs)."""
-    final = head_conv_taps(spec) if skip_final_convs else set()
+    through untouched, as do (with ``min_k2cin``) the convs the
+    mixed-precision serving mode keeps in bf16 — same skip set as
+    ``quantize_params`` (``quantized_conv_skips``)."""
+    final = quantized_conv_skips(spec, skip_final_convs, min_k2cin)
 
     def transform(sm_name, layer_key, x):
         if (sm_name, layer_key) in final:
@@ -206,15 +220,18 @@ def make_activation_fake_quant(spec, skip_final_convs: bool = True):
     return transform
 
 
-def fake_quant_weights(spec, params, skip_final_convs: bool = True):
+def fake_quant_weights(spec, params, skip_final_convs: bool = True,
+                       min_k2cin: int = 0):
     """Fake-quant every conv kernel the int8 serving tier would quantize.
 
     The convs feeding yolo layers stay fp (mirrors ``quantize_params``'
-    ``skip_final_convs`` default — box/score logits stay precision-clean).
+    ``skip_final_convs`` default — box/score logits stay precision-clean);
+    ``min_k2cin`` additionally skips the convs a mixed-precision serving
+    config keeps in bf16 (``quantized_conv_skips``).
     BN params/biases are untouched: serving folds BN into the kernel and
     the lattice commutes with the fold (see ``fake_quant_kernel``).
     """
-    final = head_conv_taps(spec) if skip_final_convs else set()
+    final = quantized_conv_skips(spec, skip_final_convs, min_k2cin)
     out = {}
     for sm in spec.sub_models:
         sm_p = {}

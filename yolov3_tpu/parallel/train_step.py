@@ -153,7 +153,8 @@ def ema_update(ema, new, decay, step, warmup: bool = True):
 
 def _loss_and_metrics(spec, params, bn_state, images, labels, anchors_table,
                       grid_sizes, batch_size, bn_frozen, train,
-                      compute_dtype=None, remat=False, qat=False):
+                      compute_dtype=None, remat=False, qat=False,
+                      qat_min_k2cin=0):
     y_true = assign_targets(labels, anchors_table, grid_sizes)
     params_master = params  # L2 regularizes the real weights, QAT or not
     act_transform = None
@@ -165,12 +166,16 @@ def _loss_and_metrics(spec, params, bn_state, images, labels, anchors_table,
         # qat='full' additionally fake-quants every conv input on the
         # serving activation lattice (dynamic per-batch absmax; serving
         # recalibrates scales on the trained weights) — trains against the
-        # int8_chain tier's activation rounding too.
+        # int8_chain tier's activation rounding too; qat='activations'
+        # applies only that, leaving the weights fp. qat_min_k2cin mirrors
+        # the serving tier's mixed-precision threshold so the lattice
+        # matches the actual deployment configuration.
         from ..ops.quantize import fake_quant_weights, make_activation_fake_quant
 
-        params = fake_quant_weights(spec, params)
-        if qat == "full":
-            act_transform = make_activation_fake_quant(spec)
+        if qat in ("weights", "full", True):
+            params = fake_quant_weights(spec, params, min_k2cin=qat_min_k2cin)
+        if qat in ("full", "activations"):
+            act_transform = make_activation_fake_quant(spec, min_k2cin=qat_min_k2cin)
     if compute_dtype is not None:
         # mixed precision: bf16 compute against fp32 master weights — the
         # cast sits inside the differentiated graph, so gradients come back
@@ -203,7 +208,7 @@ def _loss_and_metrics(spec, params, bn_state, images, labels, anchors_table,
 def make_train_step(spec, anchors_table, grid_sizes, batch_size,
                     optimizer, mesh=None, bn_frozen=(), trainable_mask=None,
                     compute_dtype=None, remat=False, augment=None, seed=0,
-                    accum_steps: int = 1, qat=False,
+                    accum_steps: int = 1, qat=False, qat_min_k2cin: int = 0,
                     ema_decay=None, ema_warmup: bool = True):
     """Returns step(train_state, images, labels) → (train_state, metrics).
 
@@ -219,8 +224,11 @@ def make_train_step(spec, anchors_table, grid_sizes, batch_size,
     BN behaves like microbatch-local BN — same caveat as any
     grad-accumulation scheme).
     ``qat``: False | True/'weights' (fake-quant conv kernels on the int8
-    serving lattice, STE) | 'full' (weights + per-batch activation
-    fake-quant on every conv input the int8_chain tier quantizes).
+    serving lattice, STE) | 'activations' (conv-input fake-quant only,
+    weights fp) | 'full' (weights + per-batch activation fake-quant on
+    every conv input the int8_chain tier quantizes). ``qat_min_k2cin``
+    mirrors serving's mixed-precision threshold (quantize_params'
+    min_k2cin) so QAT skips the same convs serving leaves in bf16.
     ``ema_decay``: maintain an exponential moving average of params + BN
     statistics in ``train_state["ema"]`` (init_train_state(ema=True)),
     updated inside the same jit — two fused axpy sweeps, no extra passes.
@@ -233,6 +241,7 @@ def make_train_step(spec, anchors_table, grid_sizes, batch_size,
         anchors_table=anchors_table, grid_sizes=grid_sizes,
         batch_size=batch_size, bn_frozen=tuple(bn_frozen), train=True,
         compute_dtype=compute_dtype, remat=remat, qat=qat,
+        qat_min_k2cin=qat_min_k2cin,
     )
 
     aug_kwargs = dict(augment) if isinstance(augment, dict) else {}
@@ -262,6 +271,7 @@ def make_train_step(spec, anchors_table, grid_sizes, batch_size,
                 lambda p, bn, im, lb: _loss_and_metrics(
                     spec, p, bn, im, lb, anchors_table, grid_sizes,
                     micro, tuple(bn_frozen), True, compute_dtype, remat, qat,
+                    qat_min_k2cin,
                 ),
                 has_aux=True,
             )
