@@ -442,6 +442,35 @@ class Train:
         else:
             shuffle_buffer = 0
 
+        # device-resident dataset (extension): decode once, stage the whole
+        # split in HBM, and run every epoch as pure device work — batches
+        # are on-device gathers, shuffle is a full per-epoch permutation.
+        # `device_dataset: true` or `{dtype: uint8}` (4× less HBM/staging).
+        device_ds_conf = kwargs.get("device_dataset")
+        dd_train = dd_val = None
+        if device_ds_conf:
+            if ms_sizes:
+                raise ValueError(
+                    "device_dataset is incompatible with multi_scale "
+                    "(HBM staging is per-size)")
+            if put is not None:
+                raise ValueError(
+                    "device_dataset + multihost is not supported "
+                    "(each process would need its own local-shard staging)")
+            from ..data.pipeline import DeviceDataset
+
+            store_uint8 = (isinstance(device_ds_conf, dict)
+                           and str(device_ds_conf.get("dtype", "")).lower() == "uint8")
+            t0 = time.time()
+            dd_train = DeviceDataset(ds_train, batch_size, sharding=sharding,
+                                     store_uint8=store_uint8)
+            dd_val = DeviceDataset(ds_val, batch_size, sharding=sharding,
+                                   store_uint8=store_uint8)
+            log.info(
+                f"device_dataset: staged {dd_train.n}+{dd_val.n} examples "
+                f"({(dd_train.nbytes + dd_val.nbytes) >> 20} MB"
+                f"{', uint8' if store_uint8 else ''}) in {time.time() - t0:.1f}s")
+
         train_state = init_train_state(params, bn_state, optimizer,
                                        ema=ema_conf is not None)
         verbose = training_mode == "eager_tf"
@@ -540,7 +569,7 @@ class Train:
                 size = ms_size_for(epoch)
                 log.info(f"epoch {epoch}: multi_scale image_size {size}")
                 epoch_step, epoch_ds = ms_pipeline(size)
-            if shuffle_buffer:
+            if shuffle_buffer and dd_train is None:
                 # epoch-keyed seed: fresh order each epoch, identical
                 # sequence across an interrupted+resumed run. Multi-host
                 # processes share the seed, so every process sees the SAME
@@ -550,10 +579,17 @@ class Train:
                     kwargs.get("seed", 0) * 1000003 + epoch)
             t0 = time.time()
             nbatches = 0
+            if dd_train is not None:
+                # device-resident epoch: same epoch-keyed determinism, full
+                # permutation instead of a buffer window
+                epoch_iter = dd_train.batches(
+                    kwargs.get("seed", 0) * 1000003 + epoch
+                    if shuffle_buffer else None)
+            else:
+                epoch_iter = DevicePrefetcher(
+                    Batcher(epoch_ds, batch_size), sharding=sharding, put=put)
             with trace(profile_trace_dir if epoch == start_epoch else None):
-                for images, labels in DevicePrefetcher(
-                    Batcher(epoch_ds, batch_size), sharding=sharding, put=put
-                ):
+                for images, labels in epoch_iter:
                     with timer:
                         train_state, metrics = epoch_step(train_state, images, labels)
                     nbatches += 1
@@ -592,9 +628,10 @@ class Train:
                        if ema_conf and ema_conf.get("use_for_validation")
                        else train_state)
             val_losses = []
-            for batch_i, (images, labels) in enumerate(
-                DevicePrefetcher(Batcher(ds_val, batch_size), sharding=sharding, put=put)
-            ):
+            val_iter = (dd_val.batches(None) if dd_val is not None else
+                        DevicePrefetcher(Batcher(ds_val, batch_size),
+                                         sharding=sharding, put=put))
+            for batch_i, (images, labels) in enumerate(val_iter):
                 metrics = eval_step(val_src["params"], val_src["bn_state"], images, labels)
                 val_losses.append(float(metrics["total_loss"]))
                 if verbose:

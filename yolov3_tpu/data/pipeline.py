@@ -154,6 +154,86 @@ class Batcher:
                 images, labels = [], []
 
 
+class DeviceDataset:
+    """Whole-split HBM residency (`device_dataset` train key, extension).
+
+    Decode/resize each example once on the host, stage the full split to
+    device memory a single time, then every epoch is pure device work:
+    batches are on-device gathers driven by a per-epoch permutation, so
+    training never ships image bytes after staging. This is the TPU-native
+    cache for corpora that fit HBM (uint8 @416²: ~0.52 MB/image ⇒ ~20k
+    images in 16 GB) — on a remote/tunneled host it removes the feed
+    bottleneck entirely; on any host it takes JPEG decode off the epoch
+    critical path. The reference has no analog (its tf.data pipeline
+    re-decodes every epoch, SURVEY §2 load_tfrecords).
+
+    ``store_uint8``: keep pixels as uint8 in HBM (4× less memory and
+    staging traffic) and normalize back to f32/255 inside the gather jit.
+    Values a host resize left off the 1/255 lattice pick up ≤1/510
+    rounding, and XLA compiles the /255 as a reciprocal multiply (≤1 ulp
+    vs the host pipeline's true division) — training-irrelevant; the
+    default f32 storage is bit-exact vs the host path.
+
+    ``sharding``: a ``NamedSharding`` or an ``(image_sharding,
+    label_sharding)`` pair (the train app's convention — images may also
+    split spatially). The staged split itself is laid out along the data
+    axis, so DP batch gathers ride ICI.
+    """
+
+    def __init__(self, dataset, batch_size: int, sharding=None,
+                 store_uint8: bool = False):
+        import jax
+        import jax.numpy as jnp
+
+        imgs, labs = [], []
+        for img, lab in dataset:
+            a = np.asarray(img, np.float32)
+            imgs.append(np.clip(np.round(a * 255.0), 0, 255).astype(np.uint8)
+                        if store_uint8 else a)
+            labs.append(np.asarray(lab, np.float32))
+        self.batch_size = batch_size
+        self.n = len(imgs)
+        self.nbatches = self.n // batch_size
+        self.nbytes = 0
+        self.images = self.labels = None
+        if self.n == 0:
+            return  # empty split: batches() yields nothing (val-less runs)
+        host_images = np.stack(imgs)
+        host_labels = np.stack(labs)
+        del imgs, labs
+        self.nbytes = host_images.nbytes + host_labels.nbytes
+        img_sh, lab_sh = (tuple(sharding) if isinstance(sharding, (tuple, list))
+                          else (sharding, sharding))
+        self.images = jax.device_put(host_images, img_sh)
+        self.labels = jax.device_put(host_labels, lab_sh)
+
+        def gather(images, labels, idx):
+            im = jnp.take(images, idx, axis=0)
+            if store_uint8:
+                im = im.astype(jnp.float32) / jnp.float32(255.0)
+            return im, jnp.take(labels, idx, axis=0)
+
+        self._gather = jax.jit(
+            gather,
+            out_shardings=(img_sh, lab_sh) if sharding is not None else None)
+
+    def batches(self, shuffle_seed=None):
+        """One epoch of device-resident (images, labels) batches.
+
+        ``shuffle_seed``: None = dataset order; an int seeds a FULL
+        permutation of the split (device_dataset upgrades the host path's
+        buffer shuffle to a perfect shuffle — the whole split is addressable
+        in HBM, so there is no reason to window it)."""
+        if self.n == 0:
+            return
+        order = (np.arange(self.n, dtype=np.int32) if shuffle_seed is None
+                 else np.random.RandomState(shuffle_seed & 0x7FFFFFFF)
+                 .permutation(self.n).astype(np.int32))
+        for b in range(self.nbatches):
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
+            yield self._gather(self.images, self.labels, idx)
+
+
 class DevicePrefetcher:
     """Background-thread prefetch: overlaps host decode with device compute.
 
