@@ -652,3 +652,112 @@ def test_evaluator_counters_match_reference():
             err_msg=f"counter {key}")
     assert int(ref.counters["errors"]) == ours.counters["errors"]
     assert int(ref.counters["examples"]) == ours.counters["examples"]
+
+
+def test_darknet_importer_cross_validated_vs_reference_convert(
+        tmp_path, repo_root, monkeypatch):
+    """Pin the Darknet ``.weights`` importer against the REFERENCE's own
+    implementation (VERDICT r2 item 5): author a synthetic full-size
+    80-class yolov3.weights with io/darknet.py's writer, import it through
+    the reference's convert.py:93-137 ordering walk + Keras graph AND
+    through our importer, and assert the two loaded models' forwards agree.
+    This validates BN reorder, OIHW→HWIO transpose, and global conv
+    ordering against reference behavior rather than only our roundtrip.
+    Ref: /root/reference/convert.py:36-137 (walk), 140-170 (end use)."""
+    import importlib.util
+
+    import jax
+    import jax.numpy as jnp
+    import yaml
+    from tensorflow.keras import Input
+
+    from core.parse_model import ParseModel
+    from yolov3_tpu.io.darknet import load_darknet_weights, save_darknet_weights
+    from yolov3_tpu.models import apply_model, init_model, parse_model_config
+
+    # the reference's Convert, loaded by explicit file path (both repos
+    # have a root-level convert.py)
+    spec_mod = importlib.util.spec_from_file_location(
+        "reference_convert", os.path.join(REFERENCE, "convert.py"))
+    ref_convert = importlib.util.module_from_spec(spec_mod)
+    spec_mod.loader.exec_module(ref_convert)
+
+    # env-compat shims so the reference's Keras-2/numpy-1 era code executes
+    # under the installed Keras 3 / numpy 2 (auto-restored by monkeypatch)
+    import tensorflow as tf
+    monkeypatch.setattr(np, "product", np.prod, raising=False)
+    monkeypatch.setattr(
+        tf.keras.layers.Conv2D, "get_input_shape_at",
+        lambda self, _i: tuple(self.input.shape), raising=False)
+
+    cfg = os.path.join(repo_root, "config/models/yolov3/model.yaml")
+    spec = parse_model_config(cfg, nclasses=80)
+
+    # healthy-magnitude synthetic weights: variance-scaled kernels from our
+    # init, randomized BN stats/affine + head biases so every tensor
+    # position is signal-bearing through all 75 convs
+    params, state = init_model(jax.random.PRNGKey(1), spec)
+    rng = np.random.RandomState(3)
+
+    def randomize(tree, make):
+        return jax.tree.map(
+            lambda x: jnp.asarray(make(np.asarray(x).shape)), tree)
+
+    for sm in params.values():
+        for entry in sm.values():
+            if "bn" in entry:
+                entry["bn"]["gamma"] = jnp.asarray(
+                    rng.uniform(0.8, 1.2, entry["bn"]["gamma"].shape)
+                    .astype(np.float32))
+                entry["bn"]["beta"] = jnp.asarray(
+                    (rng.randn(*entry["bn"]["beta"].shape) * 0.2)
+                    .astype(np.float32))
+            if "bias" in entry:
+                entry["bias"] = jnp.asarray(
+                    (rng.randn(*entry["bias"].shape) * 0.2).astype(np.float32))
+    state = randomize(
+        state, lambda shp: (rng.randn(*shp) * 0.3).astype(np.float32))
+    for sm in state.values():
+        for entry in sm.values():
+            if "var" in entry:
+                entry["var"] = jnp.asarray(
+                    rng.uniform(0.5, 1.5, entry["var"].shape).astype(np.float32))
+
+    wfile = str(tmp_path / "yolov3_synth.weights")
+    save_darknet_weights(spec, params, state, wfile)
+    assert os.path.getsize(wfile) > 200 * 1024 * 1024  # full-size: ~248 MB
+
+    # reference import path
+    with open(cfg) as f:
+        mc = yaml.safe_load(f)
+    ref_model = ParseModel().build_model(
+        Input(shape=(416, 416, 3)), nclasses=80, **mc)
+
+    # last env-compat shim: Keras 2 named tensors '<layer>/BiasAdd:0' and the
+    # reference's find_next_layer (convert.py:15-33) keys its BN detection on
+    # that producer-prefix; Keras 3 names them 'keras_tensor_N'. Restore the
+    # producer-prefixed naming via _keras_history so the reference's own walk
+    # logic runs unmodified.
+    def restore_producer_names(model):
+        for lyr in model.layers:
+            if hasattr(lyr, "layers"):
+                restore_producer_names(lyr)
+            outs = getattr(lyr, "output", None)
+            for t in (outs if isinstance(outs, list) else [outs]):
+                if t is not None and hasattr(t, "name"):
+                    t.name = lyr.name + "/out"  # plain instance attribute
+
+    restore_producer_names(ref_model)
+    ref_model = ref_convert.Convert().load_all_weights(ref_model, wfile)
+
+    # our import path
+    params2, state2 = load_darknet_weights(spec, wfile)
+
+    x = np.random.RandomState(0).rand(1, 416, 416, 3).astype(np.float32)
+    ref_outs = ref_model(x, training=False)
+    outs, _ = apply_model(spec, params2, state2, jnp.asarray(x))
+    assert len(ref_outs) == len(outs) == 3
+    for ro, jo in zip(ref_outs, outs):
+        ro, jo = np.asarray(ro), np.asarray(jo)
+        rel = np.abs(ro - jo).max() / (np.abs(ro).max() + 1e-9)
+        assert rel < 3e-2, f"importer cross-validation rel diff {rel}"

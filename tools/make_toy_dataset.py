@@ -28,18 +28,19 @@ CLASSES = ["circle", "square", "triangle"]
 IMG_SIZE = 256
 
 
-def draw_example(rng):
+def draw_example(rng, img_size=IMG_SIZE):
     from PIL import Image, ImageDraw
 
-    img = Image.new("RGB", (IMG_SIZE, IMG_SIZE), (20, 24, 28))
+    img = Image.new("RGB", (img_size, img_size), (20, 24, 28))
     draw = ImageDraw.Draw(img)
     n = rng.randint(1, 4)
     boxes, classes = [], []
     for _ in range(n):
         cls = rng.randint(len(CLASSES))
-        size = rng.randint(40, 100)
-        x0 = rng.randint(0, IMG_SIZE - size)
-        y0 = rng.randint(0, IMG_SIZE - size)
+        # same size *fraction* range at every resolution (40..100 @256)
+        size = rng.randint(round(img_size * 40 / 256), round(img_size * 100 / 256))
+        x0 = rng.randint(0, img_size - size)
+        y0 = rng.randint(0, img_size - size)
         x1, y1 = x0 + size, y0 + size
         color = tuple(int(c) for c in rng.randint(90, 255, 3))
         if cls == 0:
@@ -48,7 +49,7 @@ def draw_example(rng):
             draw.rectangle([x0, y0, x1, y1], fill=color)
         else:
             draw.polygon([(x0, y1), (x1, y1), ((x0 + x1) // 2, y0)], fill=color)
-        boxes.append([x0 / IMG_SIZE, y0 / IMG_SIZE, x1 / IMG_SIZE, y1 / IMG_SIZE])
+        boxes.append([x0 / img_size, y0 / img_size, x1 / img_size, y1 / img_size])
         classes.append(cls)
     return img, boxes, classes
 
@@ -59,7 +60,8 @@ def jpeg_bytes(img):
     return buf.getvalue()
 
 
-def main(root="datasets/shapes_toy", n_train=32, n_val=16, n_test=8, seed=7):
+def main(root="datasets/shapes_toy", n_train=32, n_val=16, n_test=8, seed=7,
+         img_size=IMG_SIZE):
     rng = np.random.RandomState(seed)
     os.makedirs(f"{root}/anchors", exist_ok=True)
     with open(f"{root}/class.names", "w") as f:
@@ -81,7 +83,7 @@ def main(root="datasets/shapes_toy", n_train=32, n_val=16, n_test=8, seed=7):
         os.makedirs(f"{root}/tfrecords/{split}", exist_ok=True)
         records = []
         for i in range(count):
-            img, boxes, classes = draw_example(rng)
+            img, boxes, classes = draw_example(rng, img_size)
             encoded = jpeg_bytes(img)
             boxes_arr = np.asarray(boxes, np.float32)
             records.append(encode_example({
@@ -98,9 +100,9 @@ def main(root="datasets/shapes_toy", n_train=32, n_val=16, n_test=8, seed=7):
                     f.write(encoded)
                 img_id = i
                 coco["images"].append({"id": img_id, "file_name": fname,
-                                       "width": IMG_SIZE, "height": IMG_SIZE})
+                                       "width": img_size, "height": img_size})
                 for box, c in zip(boxes, classes):
-                    x0, y0, x1, y1 = (np.asarray(box) * IMG_SIZE).tolist()
+                    x0, y0, x1, y1 = (np.asarray(box) * img_size).tolist()
                     coco["annotations"].append({
                         "id": ann_id, "image_id": img_id, "category_id": 10 + c,
                         "bbox": [x0, y0, x1 - x0, y1 - y0],
@@ -115,4 +117,14 @@ def main(root="datasets/shapes_toy", n_train=32, n_val=16, n_test=8, seed=7):
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:2])
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("root", nargs="?", default="datasets/shapes_toy")
+    ap.add_argument("--n_train", type=int, default=32)
+    ap.add_argument("--n_val", type=int, default=16)
+    ap.add_argument("--n_test", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--img_size", type=int, default=IMG_SIZE)
+    a = ap.parse_args()
+    main(a.root, a.n_train, a.n_val, a.n_test, a.seed, a.img_size)

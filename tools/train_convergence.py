@@ -1,0 +1,236 @@
+#!/usr/bin/env python
+"""Full-resolution training-to-convergence recipe (VERDICT r2 item 1).
+
+Reproduces the repo's training-quality evidence end to end:
+  1. generates a seeded shapes corpus at the target resolution
+     (tools/make_toy_dataset.py, default 2048 train + 256 val @416²),
+  2. trains the requested model family from scratch on it with the
+     bundled trainer (device-resident HBM dataset + cosine LR + bf16
+     mixed precision — all config keys, no code path of its own),
+  3. evaluates mAP@0.5 on the held-out val split with the SAME
+     predictor the inference app serves (forward+decode+NMS),
+  4. writes <out>/result.json {loss curve, wall img/s, mAP@0.5} and
+     leaves <out>/<model>.tf.npz for the quantization gates.
+
+The trained behavior this pins is the reference's end use
+(/root/reference/train.py:106-217 trains real detectors; this
+environment has no COCO, so the corpus is the bundled synthetic
+distribution at full resolution).
+
+Usage (real TPU chip, ~5-10 min for yolov3_tiny):
+  python tools/train_convergence.py --model yolov3_tiny
+  python tools/train_convergence.py --model yolov3 --epochs 80
+CPU smoke: --n_train 64 --n_val 16 --image_size 96 --epochs 2 --batch_size 8
+"""
+import argparse
+import json
+import logging
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def ensure_dataset(root, n_train, n_val, image_size, seed):
+    marker = os.path.join(root, "meta.json")
+    want = {"n_train": n_train, "n_val": n_val,
+            "image_size": image_size, "seed": seed}
+    if os.path.exists(marker) and json.load(open(marker)) == want:
+        return
+    from tools.make_toy_dataset import main as make_dataset
+
+    make_dataset(root, n_train=n_train, n_val=n_val, n_test=0,
+                 seed=seed, img_size=image_size)
+    with open(marker, "w") as f:
+        json.dump(want, f)
+
+
+class EpochCapture(logging.Handler):
+    """Collect the trainer's per-epoch train/val loss + throughput lines."""
+
+    PATTERNS = {
+        "train_loss": re.compile(r"epoch (\d+): train_loss ([\d.eE+-]+)"),
+        "val_loss": re.compile(r"epoch (\d+): val_loss ([\d.eE+-]+)"),
+        "img_per_sec": re.compile(r"epoch (\d+): \d+ steps in [\d.]+s \(([\d.]+) img/s\)"),
+    }
+
+    def __init__(self):
+        super().__init__()
+        self.series = {k: {} for k in self.PATTERNS}
+
+    def emit(self, record):
+        msg = record.getMessage()
+        for key, pat in self.PATTERNS.items():
+            m = pat.search(msg)
+            if m:
+                self.series[key][int(m.group(1))] = float(m.group(2))
+
+
+def evaluate_map50(model_config, ckpt_path, data_root, image_size,
+                   batch_size=32, score_threshold=0.05):
+    """mAP@0.5 on the held-out val tfrecords via the serving predictor."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolov3_tpu.apps.inference_app import make_predictor
+    from yolov3_tpu.config import get_anchors, read_class_names
+    from yolov3_tpu.data.tfrecord import parse_tfrecords
+    from yolov3_tpu.eval.detections_evaluator import APAccumulator
+    from yolov3_tpu.io.resolve import load_weights
+    from yolov3_tpu.models import init_model, parse_model_config
+
+    names_file = os.path.join(data_root, "class.names")
+    nclasses = len(read_class_names(names_file))
+    spec = parse_model_config(model_config, nclasses=nclasses)
+    anchors_name = ("anchors_tiny.txt" if "tiny" in os.path.basename(
+        os.path.dirname(model_config) or model_config) else "anchors.txt")
+    anchors = get_anchors(os.path.join(data_root, "anchors", anchors_name))
+    params, state = init_model(jax.random.PRNGKey(0), spec)
+    params, state = load_weights(spec, params, state, ckpt_path)
+
+    predict = make_predictor(spec, params, state, anchors, nclasses, 100,
+                             0.5, score_threshold,
+                             compute_dtype=jnp.bfloat16)
+    acc = APAccumulator(nclasses=nclasses)
+    batch_imgs, batch_lbls, n_images = [], [], 0
+    val_dir = os.path.join(data_root, "tfrecords", "val")
+
+    def flush():
+        nonlocal batch_imgs, batch_lbls
+        if not batch_imgs:
+            return
+        n = len(batch_imgs)
+        while len(batch_imgs) < batch_size:  # pad to the compiled batch
+            batch_imgs.append(np.zeros_like(batch_imgs[0]))
+            batch_lbls.append(np.zeros_like(batch_lbls[0]))
+        imgs = jnp.asarray(np.stack(batch_imgs), jnp.float32)
+        bboxes, cls, scores, selected, nvalid = map(np.asarray, predict(imgs))
+        for i in range(n):
+            nv = int(nvalid[i])
+            sel = selected[i, :nv]
+            lb = batch_lbls[i]
+            gt = lb[lb[:, 4] > 0]
+            acc.add_image(bboxes[i][sel], cls[i][sel], scores[i][sel],
+                          gt[:, :4], gt[:, 5].astype(np.int32))
+        batch_imgs, batch_lbls = [], []
+
+    for im, lb in parse_tfrecords(val_dir, image_size, 100, names_file):
+        batch_imgs.append(np.asarray(im))
+        batch_lbls.append(np.asarray(lb))
+        n_images += 1
+        if len(batch_imgs) == batch_size:
+            flush()
+    flush()
+    per_class, mean_ap = acc.compute()
+    return {"map50": float(mean_ap),
+            "per_class_ap50": [float(a) for a in np.asarray(per_class)],
+            "val_images": n_images}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", default="yolov3_tiny",
+                    choices=["yolov3_tiny", "yolov3", "yolov3_spp"])
+    ap.add_argument("--epochs", type=int, default=80)
+    ap.add_argument("--batch_size", type=int, default=128)
+    ap.add_argument("--image_size", type=int, default=416)
+    ap.add_argument("--n_train", type=int, default=2048)
+    ap.add_argument("--n_val", type=int, default=256)
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--learning_rate", type=float, default=1e-3)
+    ap.add_argument("--data_root", default=None,
+                    help="default: output/shapes_conv<image_size>")
+    ap.add_argument("--out_dir", default=None,
+                    help="default: output/convergence/<model>")
+    ap.add_argument("--qat", default=False,
+                    help="trainer qat mode (False/'weights'/'full')")
+    ap.add_argument("--eval_only", action="store_true",
+                    help="skip training; evaluate the existing checkpoint")
+    args = ap.parse_args()
+
+    data_root = args.data_root or f"output/shapes_conv{args.image_size}"
+    out_dir = args.out_dir or os.path.join("output", "convergence", args.model)
+    os.makedirs(out_dir, exist_ok=True)
+    ensure_dataset(data_root, args.n_train, args.n_val, args.image_size,
+                   args.seed)
+
+    tiny = args.model == "yolov3_tiny"
+    model_config = f"config/models/{args.model}/model.yaml"
+    ckpt = os.path.join(out_dir, f"{args.model}.tf")
+    capture = EpochCapture()
+    wall = None
+
+    if not args.eval_only:
+        from yolov3_tpu.apps.train_app import Train
+
+        cfg = dict(
+            dataset_config={
+                "input_data_source": "tfrecords",
+                "tfrecords": {
+                    "train": os.path.join(data_root, "tfrecords", "train"),
+                    "valid": os.path.join(data_root, "tfrecords", "val"),
+                },
+            },
+            classes_name_file=os.path.join(data_root, "class.names"),
+            anchors_file=os.path.join(
+                data_root, "anchors",
+                "anchors_tiny.txt" if tiny else "anchors.txt"),
+            max_dataset_examples=None,
+            max_bboxes=10,
+            model_config_file=model_config,
+            image_size=args.image_size,
+            training_mode="fit",
+            batch_size=args.batch_size,
+            epochs=args.epochs,
+            learning_rate=args.learning_rate,
+            early_stopping=False,
+            early_stop_patience=13,
+            weights_save_peroid=10 ** 9,
+            output_checkpoints_path=ckpt,
+            transfer_learning_config={
+                "transfer_list": ["none"], "freeze_train_list": ["none"],
+                "batch_norm_freeze_list": ["none"], "input_weights_path": ckpt,
+            },
+            debug_mode=False,
+            render_dataset_example=False,
+            resume=False,
+            seed=args.seed,
+            shuffle=True,
+            mixed_precision=True,
+            device_dataset={"dtype": "uint8"},
+            lr_schedule={"type": "cosine", "warmup_epochs": 2,
+                         "min_lr_fraction": 0.05},
+            qat=args.qat,
+            compilation_cache=True,
+        )
+        with open(os.path.join(out_dir, "train_config.json"), "w") as f:
+            json.dump(cfg, f, indent=1)
+        logging.getLogger("yolov3_tpu.apps.train_app").addHandler(capture)
+        t0 = time.time()
+        Train()(**cfg)
+        wall = time.time() - t0
+
+    result = {"model": args.model, "image_size": args.image_size,
+              "n_train": args.n_train, "n_val": args.n_val,
+              "batch_size": args.batch_size, "epochs": args.epochs,
+              "wall_seconds": wall,
+              "train_loss": capture.series["train_loss"],
+              "val_loss": capture.series["val_loss"],
+              "img_per_sec": capture.series["img_per_sec"]}
+    print("evaluating mAP@0.5 on the held-out val split ...")
+    result["eval"] = evaluate_map50(model_config, ckpt, data_root,
+                                    args.image_size)
+    with open(os.path.join(out_dir, "result.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({"model": args.model,
+                      "map50": result["eval"]["map50"],
+                      "final_val_loss":
+                          capture.series["val_loss"].get(args.epochs),
+                      "wall_seconds": wall}))
+
+
+if __name__ == "__main__":
+    main()

@@ -602,6 +602,9 @@ class Train:
                 f"epoch {epoch}: {nbatches} steps in {dt:.2f}s "
                 f"({nbatches * batch_size / dt:.1f} img/s)"
             )
+            # last-batch train loss each epoch (one scalar fetch — the same
+            # value the TensorBoard writer records); convergence-run evidence
+            log.info(f"epoch {epoch}: train_loss {float(metrics['total_loss']):.4f}")
             if tb_writer:
                 scalars = {
                     "train/total_loss": float(metrics["total_loss"]),
