@@ -28,7 +28,20 @@ CLASSES = ["circle", "square", "triangle"]
 IMG_SIZE = 256
 
 
-def draw_example(rng, img_size=IMG_SIZE):
+def _iou(a, b):
+    ix = max(0, min(a[2], b[2]) - max(a[0], b[0]))
+    iy = max(0, min(a[3], b[3]) - max(a[1], b[1]))
+    inter = ix * iy
+    ua = ((a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+    return inter / ua if ua > 0 else 0.0
+
+
+def draw_example(rng, img_size=IMG_SIZE, max_overlap=None):
+    """One synthetic example. ``max_overlap=None`` reproduces the bundled
+    fixtures bit-exactly (unconstrained placement — later shapes may fully
+    occlude earlier ones, which caps achievable detection quality);
+    a float caps the pairwise box IoU by rejection-sampling placements
+    (shapes that can't be placed within 50 tries are skipped)."""
     from PIL import Image, ImageDraw
 
     img = Image.new("RGB", (img_size, img_size), (20, 24, 28))
@@ -41,6 +54,19 @@ def draw_example(rng, img_size=IMG_SIZE):
         size = rng.randint(round(img_size * 40 / 256), round(img_size * 100 / 256))
         x0 = rng.randint(0, img_size - size)
         y0 = rng.randint(0, img_size - size)
+        if max_overlap is not None:
+            placed = False
+            for _try in range(50):
+                cand = [x0, y0, x0 + size, y0 + size]
+                if all(_iou(cand, [b[0] * img_size, b[1] * img_size,
+                                   b[2] * img_size, b[3] * img_size])
+                       <= max_overlap for b in boxes):
+                    placed = True
+                    break
+                x0 = rng.randint(0, img_size - size)
+                y0 = rng.randint(0, img_size - size)
+            if not placed:
+                continue
         x1, y1 = x0 + size, y0 + size
         color = tuple(int(c) for c in rng.randint(90, 255, 3))
         if cls == 0:
@@ -61,7 +87,7 @@ def jpeg_bytes(img):
 
 
 def main(root="datasets/shapes_toy", n_train=32, n_val=16, n_test=8, seed=7,
-         img_size=IMG_SIZE):
+         img_size=IMG_SIZE, max_overlap=None):
     rng = np.random.RandomState(seed)
     os.makedirs(f"{root}/anchors", exist_ok=True)
     with open(f"{root}/class.names", "w") as f:
@@ -83,7 +109,7 @@ def main(root="datasets/shapes_toy", n_train=32, n_val=16, n_test=8, seed=7,
         os.makedirs(f"{root}/tfrecords/{split}", exist_ok=True)
         records = []
         for i in range(count):
-            img, boxes, classes = draw_example(rng, img_size)
+            img, boxes, classes = draw_example(rng, img_size, max_overlap)
             encoded = jpeg_bytes(img)
             boxes_arr = np.asarray(boxes, np.float32)
             records.append(encode_example({
@@ -126,5 +152,7 @@ if __name__ == "__main__":
     ap.add_argument("--n_test", type=int, default=8)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--img_size", type=int, default=IMG_SIZE)
+    ap.add_argument("--max_overlap", type=float, default=None,
+                    help="cap pairwise GT box IoU (None = legacy fixtures)")
     a = ap.parse_args()
-    main(a.root, a.n_train, a.n_val, a.n_test, a.seed, a.img_size)
+    main(a.root, a.n_train, a.n_val, a.n_test, a.seed, a.img_size, a.max_overlap)

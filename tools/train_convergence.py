@@ -33,16 +33,17 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def ensure_dataset(root, n_train, n_val, image_size, seed):
+def ensure_dataset(root, n_train, n_val, image_size, seed, max_overlap):
     marker = os.path.join(root, "meta.json")
     want = {"n_train": n_train, "n_val": n_val,
-            "image_size": image_size, "seed": seed}
+            "image_size": image_size, "seed": seed,
+            "max_overlap": max_overlap}
     if os.path.exists(marker) and json.load(open(marker)) == want:
         return
     from tools.make_toy_dataset import main as make_dataset
 
     make_dataset(root, n_train=n_train, n_val=n_val, n_test=0,
-                 seed=seed, img_size=image_size)
+                 seed=seed, img_size=image_size, max_overlap=max_overlap)
     with open(marker, "w") as f:
         json.dump(want, f)
 
@@ -140,6 +141,9 @@ def main():
     ap.add_argument("--n_train", type=int, default=2048)
     ap.add_argument("--n_val", type=int, default=256)
     ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--max_overlap", type=float, default=0.15,
+                    help="cap pairwise GT IoU in the generated corpus "
+                         "(heavy occlusion caps achievable mAP)")
     ap.add_argument("--learning_rate", type=float, default=1e-3)
     ap.add_argument("--data_root", default=None,
                     help="default: output/shapes_conv<image_size>")
@@ -155,7 +159,7 @@ def main():
     out_dir = args.out_dir or os.path.join("output", "convergence", args.model)
     os.makedirs(out_dir, exist_ok=True)
     ensure_dataset(data_root, args.n_train, args.n_val, args.image_size,
-                   args.seed)
+                   args.seed, args.max_overlap)
 
     tiny = args.model == "yolov3_tiny"
     model_config = f"config/models/{args.model}/model.yaml"
@@ -215,6 +219,7 @@ def main():
 
     result = {"model": args.model, "image_size": args.image_size,
               "n_train": args.n_train, "n_val": args.n_val,
+              "max_overlap": args.max_overlap,
               "batch_size": args.batch_size, "epochs": args.epochs,
               "wall_seconds": wall,
               "train_loss": capture.series["train_loss"],
