@@ -263,6 +263,13 @@ def s2d_phase_kernel_conv1(k):
     return jnp.concatenate(groups, axis=2)
 
 
+def _pallas_bn_stats() -> bool:
+    """A/B gate for the fused Pallas BN-statistics kernel (PERF.md)."""
+    import os
+
+    return os.environ.get("YOLOV3_PALLAS_BN_STATS", "") == "1"
+
+
 def batch_norm(x, bn_params, bn_state, train: bool, momentum=BN_MOMENTUM, eps=BN_EPS,
                phases: int = 1):
     """Functional BatchNorm over NHWC (channel axis -1).
@@ -290,8 +297,17 @@ def batch_norm(x, bn_params, bn_state, train: bool, momentum=BN_MOMENTUM, eps=BN
         # accumulation keeps the cancellation error ~1e-6 relative.
         if phases > 1:
             xr = x32.reshape(*x.shape[:-1], phases, x.shape[-1] // phases)
-            mean = jnp.mean(xr, axis=(0, 1, 2, 3))
-            var = jnp.maximum(jnp.mean(xr * xr, axis=(0, 1, 2, 3)) - mean * mean, 0.0)
+            if _pallas_bn_stats():
+                from ..ops.pallas.bn_stats import bn_moments
+                mean, var = bn_moments(xr)
+            else:
+                mean = jnp.mean(xr, axis=(0, 1, 2, 3))
+                var = jnp.maximum(jnp.mean(xr * xr, axis=(0, 1, 2, 3)) - mean * mean, 0.0)
+        elif _pallas_bn_stats():
+            # A/B lever (YOLOV3_PALLAS_BN_STATS=1): fused Pallas sum/sumsq —
+            # same f32 reductions, tile-serial order (ops/pallas/bn_stats.py)
+            from ..ops.pallas.bn_stats import bn_moments
+            mean, var = bn_moments(x)
         else:
             mean = jnp.mean(x32, axis=(0, 1, 2))
             var = jnp.maximum(jnp.mean(x32 * x32, axis=(0, 1, 2)) - mean * mean, 0.0)
