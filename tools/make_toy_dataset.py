@@ -88,7 +88,6 @@ def jpeg_bytes(img):
 
 def main(root="datasets/shapes_toy", n_train=32, n_val=16, n_test=8, seed=7,
          img_size=IMG_SIZE, max_overlap=None):
-    rng = np.random.RandomState(seed)
     os.makedirs(f"{root}/anchors", exist_ok=True)
     with open(f"{root}/class.names", "w") as f:
         f.write("\n".join(CLASSES) + "\n")
@@ -105,7 +104,14 @@ def main(root="datasets/shapes_toy", n_train=32, n_val=16, n_test=8, seed=7,
     ann_id = 0
     os.makedirs(f"{root}/coco/images", exist_ok=True)
 
-    for split, count in (("train", n_train), ("val", n_val), ("test", n_test)):
+    for si, (split, count) in enumerate(
+            (("train", n_train), ("val", n_val), ("test", n_test))):
+        # independent RNG stream per split: with a single sequential stream,
+        # the val images of an (n_train=N) corpus are the train images
+        # 2048..N of any larger corpus generated with the same seed — which
+        # silently leaks val into train across corpus sizes (caught when a
+        # leaked eval scored 0.99 vs 0.79 honest)
+        rng = np.random.RandomState([seed, si])
         os.makedirs(f"{root}/tfrecords/{split}", exist_ok=True)
         records = []
         for i in range(count):

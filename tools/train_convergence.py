@@ -37,7 +37,7 @@ def ensure_dataset(root, n_train, n_val, image_size, seed, max_overlap):
     marker = os.path.join(root, "meta.json")
     want = {"n_train": n_train, "n_val": n_val,
             "image_size": image_size, "seed": seed,
-            "max_overlap": max_overlap}
+            "max_overlap": max_overlap, "split_rng": 1}
     if os.path.exists(marker) and json.load(open(marker)) == want:
         return
     from tools.make_toy_dataset import main as make_dataset
@@ -70,7 +70,7 @@ class EpochCapture(logging.Handler):
 
 
 def evaluate_map50(model_config, ckpt_path, data_root, image_size,
-                   batch_size=32, score_threshold=0.05):
+                   batch_size=32, score_threshold=0.01):
     """mAP@0.5 on the held-out val tfrecords via the serving predictor."""
     import jax
     import jax.numpy as jnp
@@ -218,6 +218,7 @@ def main():
         wall = time.time() - t0
 
     result = {"model": args.model, "image_size": args.image_size,
+              "data_root": data_root, "eval_score_threshold": 0.01,
               "n_train": args.n_train, "n_val": args.n_val,
               "max_overlap": args.max_overlap,
               "batch_size": args.batch_size, "epochs": args.epochs,

@@ -597,14 +597,17 @@ class Train:
                         self._log_metrics(epoch, "train", nbatches - 1, cur_lr, metrics)
             if nbatches == 0:
                 raise ValueError("Dataset size less than batch size!")
+            # fetch the last step's loss BEFORE taking the epoch time: on an
+            # async dispatch path (device_dataset / remote attachments) the
+            # loop above only enqueues work — the scalar fetch forces the
+            # epoch's final step to complete, so the logged rate is honest
+            epoch_train_loss = float(metrics["total_loss"])
             dt = time.time() - t0
             log.info(
                 f"epoch {epoch}: {nbatches} steps in {dt:.2f}s "
                 f"({nbatches * batch_size / dt:.1f} img/s)"
             )
-            # last-batch train loss each epoch (one scalar fetch — the same
-            # value the TensorBoard writer records); convergence-run evidence
-            log.info(f"epoch {epoch}: train_loss {float(metrics['total_loss']):.4f}")
+            log.info(f"epoch {epoch}: train_loss {epoch_train_loss:.4f}")
             if tb_writer:
                 scalars = {
                     "train/total_loss": float(metrics["total_loss"]),
