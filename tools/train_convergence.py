@@ -70,8 +70,12 @@ class EpochCapture(logging.Handler):
 
 
 def evaluate_map50(model_config, ckpt_path, data_root, image_size,
-                   batch_size=32, score_threshold=0.01):
-    """mAP@0.5 on the held-out val tfrecords via the serving predictor."""
+                   batch_size=32, score_threshold=0.01, quantize=None):
+    """mAP@0.5 on the held-out val tfrecords via the serving predictor.
+
+    ``quantize``: None (bf16 serving) or 'int8'/'int8_chain' — the PTQ
+    serving tiers, calibrated on the first val batch (the QAT A/B tool
+    compares these across qat training modes)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -92,12 +96,21 @@ def evaluate_map50(model_config, ckpt_path, data_root, image_size,
     params, state = init_model(jax.random.PRNGKey(0), spec)
     params, state = load_weights(spec, params, state, ckpt_path)
 
-    predict = make_predictor(spec, params, state, anchors, nclasses, 100,
-                             0.5, score_threshold,
-                             compute_dtype=jnp.bfloat16)
     acc = APAccumulator(nclasses=nclasses)
     batch_imgs, batch_lbls, n_images = [], [], 0
     val_dir = os.path.join(data_root, "tfrecords", "val")
+
+    kwargs = dict(compute_dtype=jnp.bfloat16)
+    if quantize:
+        import numpy as _np
+
+        calib = _np.stack([_np.asarray(im) for im, _ in zip(
+            (im for im, _ in parse_tfrecords(val_dir, image_size, 100,
+                                             names_file)), range(8))])
+        kwargs = dict(quantize=quantize,
+                      calibration_batches=[calib.astype(_np.float32)])
+    predict = make_predictor(spec, params, state, anchors, nclasses, 100,
+                             0.5, score_threshold, **kwargs)
 
     def flush():
         nonlocal batch_imgs, batch_lbls

@@ -30,6 +30,37 @@ BN_MOMENTUM = 0.99
 LEAKY_SLOPE = 0.1
 
 _DIMSPEC = ("NHWC", "HWIO", "NHWC")
+_DIMSPEC_HWNC = ("HWNC", "HWIO", "HWNC")
+
+_LAYOUT = "nhwc"  # see set_layout
+
+
+def set_layout(mode: str):
+    """Whole-model logical layout: "nhwc" (default) or "hwnc".
+
+    "hwnc" runs EVERY intermediate activation logically as (H, W, B, C) —
+    row-major physical order then equals the {3,0,2,1} layout XLA picks
+    for in-model int8 activations, so XLA's layout-assignment pass has no
+    batch-minor/row-major mismatch to reconcile anywhere in the network
+    (the full-model version of the per-call-site HWBC trick, PERF.md
+    conv1x1 post-mortem). Boundary cost: one input transpose and one tiny
+    transpose per head output (network.py). Env YOLOV3_LAYOUT overrides.
+    Single-device experiments only — the parallel/ sharding specs address
+    the batch axis by NHWC position.
+    """
+    global _LAYOUT
+    assert mode in ("nhwc", "hwnc")
+    _LAYOUT = mode
+
+
+def layout() -> str:
+    import os
+
+    return os.environ.get("YOLOV3_LAYOUT", _LAYOUT).lower()
+
+
+def _dimspec():
+    return _DIMSPEC_HWNC if layout() == "hwnc" else _DIMSPEC
 
 
 @jax.tree_util.register_dataclass
@@ -102,7 +133,7 @@ def conv2d(x, kernel, stride: int, pad: int, explicit_pad=None):
         kernel.astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
-        dimension_numbers=_DIMSPEC,
+        dimension_numbers=_dimspec(),
         preferred_element_type=preferred,
     )
 
@@ -168,23 +199,33 @@ def conv2d_int8(x, qparams, stride: int, pad: int, leaky: bool = False,
         if _c1.eligible(kq.shape, stride, explicit_pad) and _pallas_1x1_enabled():
             import os as _os
 
-            b, h, w, cin = xq.shape
-            cout = kq.shape[3]
+            cin, cout = kq.shape[2], kq.shape[3]
             scale = (qparams["w_scale"] * in_scale).astype(jnp.float32)
-            # XLA lays in-model int8 activations out {3,0,2,1} (C minor,
-            # then B) — row-major for logical (H,W,B,C). Feeding the kernel
-            # through that transpose turns the layout change into a bitcast
-            # instead of a full-tensor copy on each side of the custom call.
-            hwbc = _os.environ.get("YOLOV3_PALLAS_1X1_LAYOUT", "hwbc") == "hwbc"
-            if hwbc:
-                xm = xq.transpose(1, 2, 0, 3).reshape(-1, cin)
-            else:
+            if layout() == "hwnc":
+                # activations are already logically (H,W,B,C): the matmul
+                # view is a pure reshape, no transpose boundary at all
+                shape4 = xq.shape[:3] + (cout,)
                 xm = xq.reshape(-1, cin)
 
-            def back(t):
+                def back(t, _s=shape4):
+                    return t.reshape(_s)
+            else:
+                b, h, w, _ = xq.shape
+                # XLA lays in-model int8 activations out {3,0,2,1} (C minor,
+                # then B) — row-major for logical (H,W,B,C). Feeding the
+                # kernel through that transpose turns the layout change into
+                # a bitcast instead of a full-tensor copy on each side of
+                # the custom call.
+                hwbc = _os.environ.get("YOLOV3_PALLAS_1X1_LAYOUT", "hwbc") == "hwbc"
                 if hwbc:
-                    return t.reshape(h, w, b, cout).transpose(2, 0, 1, 3)
-                return t.reshape(b, h, w, cout)
+                    xm = xq.transpose(1, 2, 0, 3).reshape(-1, cin)
+                else:
+                    xm = xq.reshape(-1, cin)
+
+                def back(t):
+                    if hwbc:
+                        return t.reshape(h, w, b, cout).transpose(2, 0, 1, 3)
+                    return t.reshape(b, h, w, cout)
 
             if "out_scale" in qparams:
                 q = _c1.conv1x1_int8_requant(
@@ -217,7 +258,7 @@ def conv2d_int8(x, qparams, stride: int, pad: int, leaky: bool = False,
         qparams["kernel_q"],
         window_strides=(stride, stride),
         padding=padding,
-        dimension_numbers=_DIMSPEC,
+        dimension_numbers=_dimspec(),
         preferred_element_type=jnp.float32,
     )
     scale = (qparams["w_scale"] * in_scale).astype(jnp.float32)
@@ -330,31 +371,41 @@ def leaky_relu(x, slope=LEAKY_SLOPE):
 
 
 def upsample_nearest(x, stride: int):
-    x = jnp.repeat(x, stride, axis=1)
-    return jnp.repeat(x, stride, axis=2)
+    h = 0 if layout() == "hwnc" else 1
+    x = jnp.repeat(x, stride, axis=h)
+    return jnp.repeat(x, stride, axis=h + 1)
 
 
 def max_pool(x, size_xy, stride_xy, padding: str):
-    pads = _pool_same_pads(x.shape, size_xy, stride_xy) if padding.lower() == "same" else [(0, 0), (0, 0)]
+    hwnc = layout() == "hwnc"
+    h = 0 if hwnc else 1
+    pads = (_pool_same_pads(x.shape[h:h + 2], size_xy, stride_xy)
+            if padding.lower() == "same" else [(0, 0), (0, 0)])
     # init must be a Python scalar literal — an Array init makes lax lower to
     # the generic reduce_window primitive, which has no autodiff rule
     if jnp.issubdtype(x.dtype, jnp.floating):
         neg_inf = -jnp.inf
     else:
         neg_inf = x.dtype.type(jnp.iinfo(x.dtype).min)
+    wdims = [1, 1, 1, 1]
+    wstrides = [1, 1, 1, 1]
+    wpads = [(0, 0)] * 4
+    wdims[h:h + 2] = [size_xy[0], size_xy[1]]
+    wstrides[h:h + 2] = [stride_xy[0], stride_xy[1]]
+    wpads[h:h + 2] = [pads[0], pads[1]]
     return lax.reduce_window(
         x,
         neg_inf,
         lax.max,
-        window_dimensions=(1, size_xy[0], size_xy[1], 1),
-        window_strides=(1, stride_xy[0], stride_xy[1], 1),
-        padding=[(0, 0), pads[0], pads[1], (0, 0)],
+        window_dimensions=tuple(wdims),
+        window_strides=tuple(wstrides),
+        padding=wpads,
     )
 
 
-def _pool_same_pads(shape, size_xy, stride_xy):
+def _pool_same_pads(hw, size_xy, stride_xy):
     pads = []
-    for dim, k, s in zip(shape[1:3], size_xy, stride_xy):
+    for dim, k, s in zip(hw, size_xy, stride_xy):
         out = -(-dim // s)  # ceil
         total = max((out - 1) * s + k - dim, 0)
         pads.append((total // 2, total - total // 2))

@@ -148,6 +148,11 @@ def _apply_sub_model(
                 x = L.max_pool(x, *args)
         elif layer.kind == "yolo":
             x = _deq(x, fp_dtype)
+            if L.layout() == "hwnc":
+                # leave the (H,W,B,C)-logical world at the head boundary —
+                # a head tensor is ≤52²·255 per image, so this transpose is
+                # noise next to the conv stack it buys layout freedom for
+                x = x.transpose(2, 0, 1, 3)
             b, h, w, c = x.shape
             # raw logits, no activation (reference parse_model.py:209-211)
             x = x.reshape(b, h, w, 3, 5 + nclasses)
@@ -177,6 +182,11 @@ def apply_model(spec: ModelSpec, params, state, images, train: bool = False,
     produced = {}
     new_state = {}
     fp_dtype = images.dtype
+    if L.layout() == "hwnc":
+        # whole-model logical layout flip (layers.set_layout): every
+        # activation flows as (H, W, B, C); heads transpose back at the
+        # yolo layer, so callers see NHWC semantics unchanged
+        images = images.transpose(1, 2, 0, 3)
     for sm in spec.sub_models:
         if sm.inputs is None:
             inputs_entry = images
