@@ -13,6 +13,13 @@ zero-egress environment, so the gate uses the bundled trained-on-shapes
 tiny checkpoint — the only trained weights available (BASELINE.md).
 
 Usage: python tools/int8_accuracy_gate.py [--max_images 32]
+Any trained checkpoint widens the gate (VERDICT r2 item 7 — pets):
+  python tools/int8_accuracy_gate.py \
+    --model_config config/models/yolov3/model.yaml \
+    --ckpt checkpoints/output/yolov3_train_pets.tf \
+    --names datasets/pets_breed.names --anchors datasets/coco2012/anchors.txt \
+    --val_images_dir datasets/pets_mini/valid \
+    --val_annotations datasets/pets_mini/valid/_annotations.coco.json
 """
 import argparse
 import json
@@ -21,28 +28,48 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+DEFAULTS = dict(
+    model_config="config/models/yolov3_tiny/model.yaml",
+    ckpt="checkpoints/output/yolov3_train_tiny.tf",
+    names="datasets/shapes_toy/class.names",
+    anchors="datasets/shapes_toy/anchors/anchors_tiny.txt",
+    val_tfrecords="datasets/shapes_toy/tfrecords/val",
+)
 
-def run_gate(max_images=32, image_size=416, score_threshold=0.1):
+
+def run_gate(max_images=32, image_size=416, score_threshold=0.1,
+             model_config=DEFAULTS["model_config"], ckpt=DEFAULTS["ckpt"],
+             names=DEFAULTS["names"], anchors_file=DEFAULTS["anchors"],
+             val_tfrecords=DEFAULTS["val_tfrecords"],
+             val_images_dir=None, val_annotations=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from yolov3_tpu.apps.inference_app import make_predictor
-    from yolov3_tpu.config import get_anchors
+    from yolov3_tpu.config import get_anchors, read_class_names
     from yolov3_tpu.data.tfrecord import parse_tfrecords
     from yolov3_tpu.eval.detections_evaluator import APAccumulator
     from yolov3_tpu.io.resolve import load_weights
     from yolov3_tpu.models import parse_model_config, init_model
 
-    spec = parse_model_config("config/models/yolov3_tiny/model.yaml", nclasses=3)
-    anchors = get_anchors("datasets/shapes_toy/anchors/anchors_tiny.txt")
+    nclasses = len(read_class_names(names))
+    spec = parse_model_config(model_config, nclasses=nclasses)
+    anchors = get_anchors(anchors_file)
     params, state = init_model(jax.random.PRNGKey(0), spec)
-    params, state = load_weights(spec, params, state,
-                                 "checkpoints/output/yolov3_train_tiny.tf")
+    params, state = load_weights(spec, params, state, ckpt)
 
+    if val_images_dir:  # COCO-json split (e.g. the bundled pets_mini)
+        from yolov3_tpu.data.coco_json import create_dataset_from_files
+
+        ds, _ = create_dataset_from_files(val_images_dir, val_annotations,
+                                          image_size, max_images,
+                                          max_bboxes=100)
+        it = iter(ds)
+    else:
+        it = parse_tfrecords(val_tfrecords, image_size, 100, names)
     examples = []
-    for im, lb in parse_tfrecords("datasets/shapes_toy/tfrecords/val",
-                                  image_size, 100, "datasets/shapes_toy/class.names"):
+    for im, lb in it:
         examples.append((np.asarray(im), np.asarray(lb)))
         if len(examples) >= max_images:
             break
@@ -57,11 +84,11 @@ def run_gate(max_images=32, image_size=416, score_threshold=0.1):
         ("bf16", dict(compute_dtype=jnp.bfloat16)),
         ("int8", dict(quantize="int8", calibration_batches=calib)),
     ]:
-        predict = make_predictor(spec, params, state, anchors, 3, 100, 0.5,
-                                 score_threshold, **kwargs)
+        predict = make_predictor(spec, params, state, anchors, nclasses, 100,
+                                 0.5, score_threshold, **kwargs)
         bboxes, cls, scores, selected, nvalid = map(
             np.asarray, predict(jnp.asarray(images)))
-        acc = APAccumulator(nclasses=3)
+        acc = APAccumulator(nclasses=nclasses)
         dets = []
         for i in range(len(images)):
             nv = int(nvalid[i])
@@ -107,11 +134,22 @@ def main():
     ap.add_argument("--max_images", type=int, default=32)
     ap.add_argument("--image_size", type=int, default=416)
     ap.add_argument("--score_threshold", type=float, default=0.1)
+    ap.add_argument("--model_config", default=DEFAULTS["model_config"])
+    ap.add_argument("--ckpt", default=DEFAULTS["ckpt"])
+    ap.add_argument("--names", default=DEFAULTS["names"])
+    ap.add_argument("--anchors", default=DEFAULTS["anchors"])
+    ap.add_argument("--val_tfrecords", default=DEFAULTS["val_tfrecords"])
+    ap.add_argument("--val_images_dir", default=None,
+                    help="COCO-json alternative to --val_tfrecords")
+    ap.add_argument("--val_annotations", default=None)
     args = ap.parse_args()
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
     os.chdir(root)
     print(json.dumps(run_gate(args.max_images, args.image_size,
-                              args.score_threshold), indent=2))
+                              args.score_threshold, args.model_config,
+                              args.ckpt, args.names, args.anchors,
+                              args.val_tfrecords, args.val_images_dir,
+                              args.val_annotations), indent=2))
 
 
 if __name__ == "__main__":
