@@ -4,8 +4,7 @@ convert.py:140-170 (``--config utilities/convert_config.yaml``)."""
 
 import argparse
 
-import yaml
-
+from yolov3_tpu.config import load_yaml
 from yolov3_tpu.apps.convert_app import convert
 
 if __name__ == "__main__":
@@ -13,6 +12,6 @@ if __name__ == "__main__":
     parser.add_argument("--config", type=str, default="utilities/convert_config.yaml",
                         help="yaml config file")
     args = parser.parse_args()
-    with open(args.config, "r") as stream:
-        convert_config = yaml.safe_load(stream)
+    # load_yaml = safe_load + ${VAR:-default} expansion (config.py)
+    convert_config = load_yaml(args.config)
     convert(convert_config)

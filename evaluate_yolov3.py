@@ -6,8 +6,7 @@ Reads the same two configs; optional flags extend the hardcoded
 
 import argparse
 
-import yaml
-
+from yolov3_tpu.config import load_yaml
 from yolov3_tpu.apps.evaluate_app import evaluate
 
 if __name__ == "__main__":
@@ -20,9 +19,8 @@ if __name__ == "__main__":
     parser.add_argument("--coco_map", action="store_true",
                         help="report COCO-style mAP@[.5:.95] (10 IoU thresholds)")
     args = parser.parse_args()
-    with open(args.evaluate_config, "r") as f:
-        evaluate_config = yaml.safe_load(f)
-    with open(args.detect_config, "r") as f:
-        detect_config = yaml.safe_load(f)
+    # load_yaml = safe_load + ${VAR:-default} expansion (config.py)
+    evaluate_config = load_yaml(args.evaluate_config)
+    detect_config = load_yaml(args.detect_config)
     evaluate(evaluate_config, detect_config, max_eval_images=args.max_eval_images,
              compute_map=not args.no_map, coco_map=args.coco_map)

@@ -3,8 +3,7 @@
 
 import argparse
 
-import yaml
-
+from yolov3_tpu.config import load_yaml
 from yolov3_tpu.apps.inference_app import Inference
 
 if __name__ == "__main__":
@@ -12,6 +11,6 @@ if __name__ == "__main__":
     parser.add_argument("--config", type=str, default="config/detect_config.yaml",
                         help="yaml config file")
     args = parser.parse_args()
-    with open(args.config, "r") as stream:
-        detect_config = yaml.safe_load(stream)
+    # load_yaml = safe_load + ${VAR:-default} expansion (config.py)
+    detect_config = load_yaml(args.config)
     Inference()(**detect_config)

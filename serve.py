@@ -5,8 +5,7 @@ reference has no serving path, its inference.py is a batch CLI)."""
 import argparse
 import logging
 
-import yaml
-
+from yolov3_tpu.config import load_yaml
 from yolov3_tpu.apps.serve_app import Serve
 
 if __name__ == "__main__":
@@ -15,6 +14,6 @@ if __name__ == "__main__":
     parser.add_argument("--config", type=str, default="config/serve_config.yaml",
                         help="yaml config file")
     args = parser.parse_args()
-    with open(args.config, "r") as stream:
-        serve_config = yaml.safe_load(stream)
+    # load_yaml = safe_load + ${VAR:-default} expansion (config.py)
+    serve_config = load_yaml(args.config)
     Serve()(**serve_config)

@@ -5,8 +5,7 @@ into the Train app)."""
 
 import argparse
 
-import yaml
-
+from yolov3_tpu.config import load_yaml
 from yolov3_tpu.apps.train_app import Train
 
 if __name__ == "__main__":
@@ -14,6 +13,6 @@ if __name__ == "__main__":
     parser.add_argument("--config", type=str, default="config/train_config.yaml",
                         help="yaml config file")
     args = parser.parse_args()
-    with open(args.config, "r") as stream:
-        train_config = yaml.safe_load(stream)
+    # load_yaml = safe_load + ${VAR:-default} expansion (config.py)
+    train_config = load_yaml(args.config)
     Train()(**train_config)

@@ -93,8 +93,9 @@ def main():
     parser.add_argument("--config", type=str, default="create_anchors_config.yaml",
                         help="yaml config file")
     args = parser.parse_args()
-    with open(args.config, "r") as stream:
-        config = yaml.safe_load(stream)
+    from yolov3_tpu.config import load_yaml  # ${VAR:-default} expansion
+
+    config = load_yaml(args.config)
 
     limit = config.get("limit")
     if isinstance(limit, str):  # reference YAML uses the literal string 'None'

@@ -41,8 +41,9 @@ def main(argv=None):
 
     from yolov3_tpu.apps.export_app import export_artifact
 
-    with open(args.config) as f:
-        cfg = yaml.safe_load(f)
+    from yolov3_tpu.config import load_yaml  # ${VAR:-default} expansion
+
+    cfg = load_yaml(args.config)
     cfg["source_config"] = os.path.abspath(args.config)
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
     export_artifact(cfg, args.out, platforms=platforms)

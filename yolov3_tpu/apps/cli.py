@@ -10,12 +10,12 @@ from __future__ import annotations
 
 import argparse
 
-import yaml
-
 
 def _load(path: str) -> dict:
-    with open(path, "r") as stream:
-        return yaml.safe_load(stream)
+    # safe_load + ${VAR:-default} expansion — same loader as the root CLIs
+    from ..config import load_yaml
+
+    return load_yaml(path)
 
 
 def train_main(argv=None) -> None:
