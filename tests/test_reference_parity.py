@@ -727,7 +727,12 @@ def test_darknet_importer_cross_validated_vs_reference_convert(
     save_darknet_weights(spec, params, state, wfile)
     assert os.path.getsize(wfile) > 200 * 1024 * 1024  # full-size: ~248 MB
 
-    # reference import path
+    # reference import path. find_next_layer (convert.py:15-33) PREFIX-matches
+    # layer names ('conv2d_1' also matches 'conv2d_10/...'), which is only
+    # safe under the fresh-process Keras name counters the reference CLI
+    # always ran with — earlier suite tests advance the global counters and
+    # desync its walk, so restore the fresh-process invariant here.
+    tf.keras.backend.clear_session()
     with open(cfg) as f:
         mc = yaml.safe_load(f)
     ref_model = ParseModel().build_model(

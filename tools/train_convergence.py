@@ -164,6 +164,12 @@ def main():
                     help="default: output/convergence/<model>")
     ap.add_argument("--qat", default=False,
                     help="trainer qat mode (False/'weights'/'full')")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize activations (fits the 4096-image "
+                         "staged corpus + full-model B=128 in HBM)")
+    ap.add_argument("--augment", default=None,
+                    help="augmentation keys as JSON, e.g. "
+                         '\'{"hsv": {"hue": 0.1}}\'')
     ap.add_argument("--eval_only", action="store_true",
                     help="skip training; evaluate the existing checkpoint")
     args = ap.parse_args()
@@ -221,8 +227,11 @@ def main():
             lr_schedule={"type": "cosine", "warmup_epochs": 2,
                          "min_lr_fraction": 0.05},
             qat=args.qat,
+            remat=args.remat,
             compilation_cache=True,
         )
+        if args.augment:
+            cfg["augmentation"] = json.loads(args.augment)
         with open(os.path.join(out_dir, "train_config.json"), "w") as f:
             json.dump(cfg, f, indent=1)
         logging.getLogger("yolov3_tpu.apps.train_app").addHandler(capture)
