@@ -87,77 +87,80 @@ def _apply_sub_model(
     new_state = {}
     for i, layer in enumerate(sm.layers):
         key = f"layer{i}"
-        if layer.kind == "convolutional":
-            p = sm_params[key]
-            if conv_observer is not None:
-                conv_observer(sm.name, key, _deq(x, fp_dtype))
-            if conv_input_transform is not None and "kernel_q" not in p:
-                # activation-QAT hook: returns a (possibly fake-quanted)
-                # replacement for this conv's input. fp path only — a
-                # quantized conv consumes the QAct directly, and _deq here
-                # would silently break the int8 chain, so the fp-only
-                # contract is structural, not a comment.
-                x = conv_input_transform(sm.name, key, _deq(x, fp_dtype))
-            leaky = layer.get("activation") == "leaky"
-            ep = layer.get("explicit_pad")
-            if "kernel_q" in p:
-                x = L.conv2d_int8(x, p, layer["stride"], layer.get("pad", 1),
-                                  leaky=leaky, fp_dtype=fp_dtype, explicit_pad=ep)
-            else:
-                x = _deq(x, fp_dtype)
-                # s2d_phase layers (ops/s2d.py::s2d_stem_train) carry
-                # ORIGINAL 3×3 params; the phase-space kernel is built
-                # in-graph so gradients flow back to them
-                s2d = layer.get("s2d_phase")
-                if s2d == "conv0":
-                    kernel = L.s2d_phase_kernel_conv0(p["kernel"])
-                elif s2d == "conv1":
-                    kernel = L.s2d_phase_kernel_conv1(p["kernel"])
+        # named scope = profiler attribution only (tools/mfu_table.py
+        # joins trace op times to layers through HLO metadata op_name)
+        with jax.named_scope(f"L|{sm.name}|{key}|{layer.kind}"):
+            if layer.kind == "convolutional":
+                p = sm_params[key]
+                if conv_observer is not None:
+                    conv_observer(sm.name, key, _deq(x, fp_dtype))
+                if conv_input_transform is not None and "kernel_q" not in p:
+                    # activation-QAT hook: returns a (possibly fake-quanted)
+                    # replacement for this conv's input. fp path only — a
+                    # quantized conv consumes the QAct directly, and _deq here
+                    # would silently break the int8 chain, so the fp-only
+                    # contract is structural, not a comment.
+                    x = conv_input_transform(sm.name, key, _deq(x, fp_dtype))
+                leaky = layer.get("activation") == "leaky"
+                ep = layer.get("explicit_pad")
+                if "kernel_q" in p:
+                    x = L.conv2d_int8(x, p, layer["stride"], layer.get("pad", 1),
+                                      leaky=leaky, fp_dtype=fp_dtype, explicit_pad=ep)
                 else:
-                    kernel = p["kernel"]
-                x = L.conv2d(x, kernel, layer["stride"], layer.get("pad", 1),
-                             explicit_pad=ep)
-                if "bn" in p:
-                    x, ns = L.batch_norm(x, p["bn"], sm_state[key], train and bn_train,
-                                         phases=4 if s2d == "conv0" else 1)
-                    new_state[key] = ns
-                elif "bias" in p:
-                    x = x + p["bias"].astype(x.dtype)
-                if leaky:
-                    x = L.leaky_relu(x)
-        elif layer.kind == "shortcut":
-            other = layer_outs[layer["from"]]
-            qentry = sm_params.get(key)
-            if (isinstance(x, L.QAct) and isinstance(other, L.QAct)
-                    and qentry is not None and "out_scale" in qentry):
-                x = L.add_requant(other, x, qentry["out_scale"])
+                    x = _deq(x, fp_dtype)
+                    # s2d_phase layers (ops/s2d.py::s2d_stem_train) carry
+                    # ORIGINAL 3×3 params; the phase-space kernel is built
+                    # in-graph so gradients flow back to them
+                    s2d = layer.get("s2d_phase")
+                    if s2d == "conv0":
+                        kernel = L.s2d_phase_kernel_conv0(p["kernel"])
+                    elif s2d == "conv1":
+                        kernel = L.s2d_phase_kernel_conv1(p["kernel"])
+                    else:
+                        kernel = p["kernel"]
+                    x = L.conv2d(x, kernel, layer["stride"], layer.get("pad", 1),
+                                 explicit_pad=ep)
+                    if "bn" in p:
+                        x, ns = L.batch_norm(x, p["bn"], sm_state[key], train and bn_train,
+                                             phases=4 if s2d == "conv0" else 1)
+                        new_state[key] = ns
+                    elif "bias" in p:
+                        x = x + p["bias"].astype(x.dtype)
+                    if leaky:
+                        x = L.leaky_relu(x)
+            elif layer.kind == "shortcut":
+                other = layer_outs[layer["from"]]
+                qentry = sm_params.get(key)
+                if (isinstance(x, L.QAct) and isinstance(other, L.QAct)
+                        and qentry is not None and "out_scale" in qentry):
+                    x = L.add_requant(other, x, qentry["out_scale"])
+                else:
+                    x = _deq(other, fp_dtype) + _deq(x, fp_dtype)
+            elif layer.kind == "route":
+                x = _route_sources(layer, inputs_entry, layer_outs, fp_dtype)
+            elif layer.kind == "upsample":
+                if isinstance(x, L.QAct):
+                    x = L.QAct(L.upsample_nearest(x.q, layer["stride"]), x.scale)
+                else:
+                    x = L.upsample_nearest(x, layer["stride"])
+            elif layer.kind == "maxpool":
+                args = (list(layer["size_xy"]), list(layer["stride_xy"]), layer["padding"])
+                if isinstance(x, L.QAct):
+                    x = L.QAct(L.max_pool(x.q, *args), x.scale)
+                else:
+                    x = L.max_pool(x, *args)
+            elif layer.kind == "yolo":
+                x = _deq(x, fp_dtype)
+                if L.layout() == "hwnc":
+                    # leave the (H,W,B,C)-logical world at the head boundary —
+                    # a head tensor is ≤52²·255 per image, so this transpose is
+                    # noise next to the conv stack it buys layout freedom for
+                    x = x.transpose(2, 0, 1, 3)
+                b, h, w, c = x.shape
+                # raw logits, no activation (reference parse_model.py:209-211)
+                x = x.reshape(b, h, w, 3, 5 + nclasses)
             else:
-                x = _deq(other, fp_dtype) + _deq(x, fp_dtype)
-        elif layer.kind == "route":
-            x = _route_sources(layer, inputs_entry, layer_outs, fp_dtype)
-        elif layer.kind == "upsample":
-            if isinstance(x, L.QAct):
-                x = L.QAct(L.upsample_nearest(x.q, layer["stride"]), x.scale)
-            else:
-                x = L.upsample_nearest(x, layer["stride"])
-        elif layer.kind == "maxpool":
-            args = (list(layer["size_xy"]), list(layer["stride_xy"]), layer["padding"])
-            if isinstance(x, L.QAct):
-                x = L.QAct(L.max_pool(x.q, *args), x.scale)
-            else:
-                x = L.max_pool(x, *args)
-        elif layer.kind == "yolo":
-            x = _deq(x, fp_dtype)
-            if L.layout() == "hwnc":
-                # leave the (H,W,B,C)-logical world at the head boundary —
-                # a head tensor is ≤52²·255 per image, so this transpose is
-                # noise next to the conv stack it buys layout freedom for
-                x = x.transpose(2, 0, 1, 3)
-            b, h, w, c = x.shape
-            # raw logits, no activation (reference parse_model.py:209-211)
-            x = x.reshape(b, h, w, 3, 5 + nclasses)
-        else:
-            raise ValueError(f"unknown layer kind {layer.kind}")
+                raise ValueError(f"unknown layer kind {layer.kind}")
         if out_observer is not None:
             out_observer(sm.name, key, _deq(x, fp_dtype))
         layer_outs.append(x)
