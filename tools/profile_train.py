@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--image_size", type=int, default=416)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--fp32", action="store_true", help="disable bf16 mixed precision")
+    ap.add_argument("--bn_subsample", type=int, default=1,
+                    help="BN stats from a strided spatial subsample (A/B lever)")
     ap.add_argument("--s2d", action="store_true",
                     help="enable the space-to-depth stem reschedule (measured "
                          "perf-neutral at B=128 — PERF.md)")
@@ -67,6 +69,11 @@ def main():
         step_spec = s2d_stem_train(spec, S)
         if step_spec is not spec:
             print("stem_s2d: on", file=sys.stderr)
+    if args.bn_subsample > 1:
+        from yolov3_tpu.models.layers import set_bn_stats_subsample
+
+        set_bn_stats_subsample(args.bn_subsample)
+        print(f'bn_stats_subsample: {args.bn_subsample}', file=sys.stderr)
     step = make_train_step(step_spec, anchors, grid_sizes, batch_size=B, optimizer=opt,
                            compute_dtype=None if args.fp32 else jnp.bfloat16)
     ts = init_train_state(params, state, opt)

@@ -144,6 +144,13 @@ class Train:
         from ..utils.compile_cache import enable_from_env_or_config
 
         enable_from_env_or_config(kwargs.get("compilation_cache"))
+        if kwargs.get("bn_stats_subsample"):
+            # opt-in approximation: BN batch stats from a strided spatial
+            # subsample (layers.set_bn_stats_subsample — PERF.md training)
+            from ..models.layers import set_bn_stats_subsample
+
+            set_bn_stats_subsample(int(kwargs["bn_stats_subsample"]))
+            log.info(f"bn_stats_subsample: {kwargs['bn_stats_subsample']}")
         if debug_nans:
             from ..utils.profiling import enable_nan_debug
 

@@ -311,6 +311,34 @@ def _pallas_bn_stats() -> bool:
     return os.environ.get("YOLOV3_PALLAS_BN_STATS", "") == "1"
 
 
+_BN_STATS_SUBSAMPLE = 1
+
+
+def set_bn_stats_subsample(s: int):
+    """Training-mode BN statistics from a stride-``s`` spatial subsample.
+
+    APPROXIMATION, opt-in (train config ``bn_stats_subsample`` /
+    YOLOV3_BN_STATS_SUBSAMPLE): mean/var estimated from every s-th row and
+    column instead of all pixels — at B=128 416² a stride-2 estimator
+    still sees ≥1.3M samples per channel at the deepest 13² stage (B·7²),
+    but the statistics pass reads 1/s² of the activation bytes, attacking
+    the ~28 ms/step of convert_reduce/multiply_reduce the Pallas kernel
+    could not (PERF.md negative result). Normalization, gradients through
+    the subsampled stats, and the running-average update all use the same
+    estimate, so train/eval stay consistent.
+    """
+    global _BN_STATS_SUBSAMPLE
+    assert int(s) >= 1
+    _BN_STATS_SUBSAMPLE = int(s)
+
+
+def _bn_stats_subsample() -> int:
+    import os
+
+    env = os.environ.get("YOLOV3_BN_STATS_SUBSAMPLE", "")
+    return int(env) if env else _BN_STATS_SUBSAMPLE
+
+
 def batch_norm(x, bn_params, bn_state, train: bool, momentum=BN_MOMENTUM, eps=BN_EPS,
                phases: int = 1):
     """Functional BatchNorm over NHWC (channel axis -1).
@@ -329,7 +357,17 @@ def batch_norm(x, bn_params, bn_state, train: bool, momentum=BN_MOMENTUM, eps=BN
     gamma = bn_params["gamma"]
     beta = bn_params["beta"]
     if train:
-        x32 = x.astype(jnp.float32)
+        ss = _bn_stats_subsample()
+        if ss > 1:
+            h = 0 if layout() == "hwnc" else 1
+            # stats-only spatial subsample (set_bn_stats_subsample); the
+            # normalization below still touches every pixel of x
+            sl = [slice(None)] * x.ndim
+            sl[h] = slice(None, None, ss)
+            sl[h + 1] = slice(None, None, ss)
+            x32 = x[tuple(sl)].astype(jnp.float32)
+        else:
+            x32 = x.astype(jnp.float32)
         # single-pass statistics: E[x²] − mean² instead of jnp.var's
         # two-pass mean-then-squared-diff — both reductions fuse into ONE
         # traversal of the activation tensor (the train step reads every
@@ -337,7 +375,7 @@ def batch_norm(x, bn_params, bn_state, train: bool, momentum=BN_MOMENTUM, eps=BN
         # Matches Keras's biased batch variance mathematically; fp32
         # accumulation keeps the cancellation error ~1e-6 relative.
         if phases > 1:
-            xr = x32.reshape(*x.shape[:-1], phases, x.shape[-1] // phases)
+            xr = x32.reshape(*x32.shape[:-1], phases, x32.shape[-1] // phases)
             if _pallas_bn_stats():
                 from ..ops.pallas.bn_stats import bn_moments
                 mean, var = bn_moments(xr)
@@ -348,7 +386,7 @@ def batch_norm(x, bn_params, bn_state, train: bool, momentum=BN_MOMENTUM, eps=BN
             # A/B lever (YOLOV3_PALLAS_BN_STATS=1): fused Pallas sum/sumsq —
             # same f32 reductions, tile-serial order (ops/pallas/bn_stats.py)
             from ..ops.pallas.bn_stats import bn_moments
-            mean, var = bn_moments(x)
+            mean, var = bn_moments(x if ss == 1 else x32.astype(x.dtype))
         else:
             mean = jnp.mean(x32, axis=(0, 1, 2))
             var = jnp.maximum(jnp.mean(x32 * x32, axis=(0, 1, 2)) - mean * mean, 0.0)
