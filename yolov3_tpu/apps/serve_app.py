@@ -376,7 +376,14 @@ class DetectionApp:
 
 
 def create_server(host, port, app: DetectionApp) -> ThreadingHTTPServer:
-    httpd = ThreadingHTTPServer((host, port), _Handler)
+    # accept backlog sized for request storms: the http.server default (5)
+    # drops concurrent connects with RST once accept() falls behind under
+    # load (observed as client ConnectionResetError in the storm test on a
+    # busy host); listen(128) lets the kernel queue them instead
+    class _Server(ThreadingHTTPServer):
+        request_queue_size = 128
+
+    httpd = _Server((host, port), _Handler)
     httpd.daemon_threads = True
     httpd.app = app
     return httpd
