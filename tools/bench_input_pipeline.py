@@ -27,31 +27,45 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def bench_stream(data_root, image_size, batch, workers, max_images):
+def bench_stream(data_root, image_size, batch, workers, max_images,
+                 batched=False):
+    import itertools
+
     import numpy as np
 
     from yolov3_tpu.data.pipeline import Batcher, Dataset
-    from yolov3_tpu.data.tfrecord import parse_tfrecords
+    from yolov3_tpu.data.tfrecord import parse_tfrecords, stream_batches
 
     train_dir = os.path.join(data_root, "tfrecords", "train")
     names = os.path.join(data_root, "class.names")
 
-    def gen():
-        n = 0
-        for ex in parse_tfrecords(train_dir, image_size, 10, names,
-                                  num_workers=workers):
-            yield ex
-            n += 1
-            if n >= max_images:
-                return
+    if batched:
+        # zero-copy fast path: decode straight into batch slots
+        def batches():
+            return itertools.islice(
+                stream_batches(train_dir, image_size, 10, batch,
+                               class_file=names, num_workers=workers),
+                max_images // batch)
+    else:
+        def gen():
+            n = 0
+            for ex in parse_tfrecords(train_dir, image_size, 10, names,
+                                      num_workers=workers):
+                yield ex
+                n += 1
+                if n >= max_images:
+                    return
+
+        def batches():
+            return Batcher(Dataset(gen), batch)
 
     # warm the page cache + thread pool so we measure decode, not disk
-    for _ in Batcher(Dataset(gen), batch):
+    for _ in batches():
         pass
     t0 = time.perf_counter()
     n_img = 0
     checksum = 0.0
-    for images, labels in Batcher(Dataset(gen), batch):
+    for images, labels in batches():
         n_img += images.shape[0]
         checksum += float(images[0, 0, 0, 0]) + float(labels[0, 0, 0])
     dt = time.perf_counter() - t0
@@ -68,16 +82,21 @@ def main():
     ap.add_argument("--max_images", type=int, default=1024)
     ap.add_argument("--target", type=float, default=533.0,
                     help="train step's device img/s the host must beat")
+    ap.add_argument("--batched", action="store_true",
+                    help="use the zero-copy batched fast path "
+                         "(tfrecord.stream_batches) instead of the "
+                         "per-example Batcher pipeline")
     args = ap.parse_args()
 
     best = 0.0
     for w in args.workers:
         rate, n = bench_stream(args.data_root, args.image_size, args.batch,
-                               w, args.max_images)
+                               w, args.max_images, batched=args.batched)
         best = max(best, rate)
         print(json.dumps({"workers": w, "img_per_sec": round(rate, 1),
                           "images": n, "batch": args.batch,
-                          "image_size": args.image_size}))
+                          "image_size": args.image_size,
+                          "path": "batched" if args.batched else "per-example"}))
     print(json.dumps({"verdict": "feeds_train_step" if best > args.target
                       else "HOST_BOUND",
                       "best_img_per_sec": round(best, 1),

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import count_file_lines, get_anchors
-from ..data.pipeline import Batcher, DevicePrefetcher, create_dataset, shuffled
+from ..data.pipeline import Batcher, DevicePrefetcher, batched, create_dataset
 from ..models import parse_model_config, init_model
 from ..models.network import head_grid_sizes, param_count
 from ..models.transfer import do_transfer_learning
@@ -448,6 +448,13 @@ class Train:
             log.info(f"shuffle: buffer {shuffle_buffer}")
         else:
             shuffle_buffer = 0
+        # decode workers for the zero-copy batched streaming path
+        # (pipeline.batched; extension, ignored by device_dataset runs)
+        stream_workers = kwargs.get("stream_workers")
+        if stream_workers is not None:
+            stream_workers = int(stream_workers)
+            if stream_workers < 1:
+                raise ValueError(f"stream_workers must be >= 1, got {stream_workers}")
 
         # device-resident dataset (extension): decode once, stage the whole
         # split in HBM, and run every epoch as pure device work — batches
@@ -576,14 +583,6 @@ class Train:
                 size = ms_size_for(epoch)
                 log.info(f"epoch {epoch}: multi_scale image_size {size}")
                 epoch_step, epoch_ds = ms_pipeline(size)
-            if shuffle_buffer and dd_train is None:
-                # epoch-keyed seed: fresh order each epoch, identical
-                # sequence across an interrupted+resumed run. Multi-host
-                # processes share the seed, so every process sees the SAME
-                # global order and local_batch_slice stays consistent.
-                epoch_ds = shuffled(
-                    epoch_ds, shuffle_buffer,
-                    kwargs.get("seed", 0) * 1000003 + epoch)
             t0 = time.time()
             nbatches = 0
             if dd_train is not None:
@@ -593,8 +592,16 @@ class Train:
                     kwargs.get("seed", 0) * 1000003 + epoch
                     if shuffle_buffer else None)
             else:
+                # epoch-keyed shuffle seed: fresh order each epoch, identical
+                # sequence across an interrupted+resumed run. Multi-host
+                # processes share the seed, so every process sees the SAME
+                # global order and local_batch_slice stays consistent.
                 epoch_iter = DevicePrefetcher(
-                    Batcher(epoch_ds, batch_size), sharding=sharding, put=put)
+                    batched(epoch_ds, batch_size,
+                            shuffle_buffer=shuffle_buffer or None,
+                            seed=kwargs.get("seed", 0) * 1000003 + epoch,
+                            num_workers=stream_workers),
+                    sharding=sharding, put=put)
             with trace(profile_trace_dir if epoch == start_epoch else None):
                 for images, labels in epoch_iter:
                     with timer:
@@ -642,8 +649,10 @@ class Train:
                        else train_state)
             val_losses = []
             val_iter = (dd_val.batches(None) if dd_val is not None else
-                        DevicePrefetcher(Batcher(ds_val, batch_size),
-                                         sharding=sharding, put=put))
+                        DevicePrefetcher(
+                            batched(ds_val, batch_size,
+                                    num_workers=stream_workers),
+                            sharding=sharding, put=put))
             for batch_i, (images, labels) in enumerate(val_iter):
                 metrics = eval_step(val_src["params"], val_src["bn_state"], images, labels)
                 val_losses.append(float(metrics["total_loss"]))

@@ -76,14 +76,21 @@ def _scratch(size: int) -> np.ndarray:
     return buf
 
 
-def decode_resize_jpeg(data: bytes, out_h: int, out_w: int, scale: float = 1.0 / 255.0):
-    """JPEG bytes → float32 (out_h, out_w, 3), TF bilinear semantics.
-    Returns None if the native library is unavailable or decode fails
-    (caller falls back to the PIL path)."""
+def decode_resize_jpeg_into(data: bytes, out: np.ndarray,
+                            scale: float = 1.0 / 255.0) -> bool:
+    """JPEG bytes → decode+resize straight into a caller-provided float32
+    (H, W, 3) C-contiguous array (e.g. one slot of a preallocated batch —
+    the zero-copy streaming path writes each image's pixels exactly once).
+    Returns False if the native library is unavailable or decode fails."""
     lib = _load()
     if lib is None:
-        return None
-    out = np.empty((out_h, out_w, 3), np.float32)
+        return False
+    if out.dtype != np.float32 or out.ndim != 3 or out.shape[2] != 3 \
+            or not out.flags["C_CONTIGUOUS"]:
+        raise ValueError("decode_resize_jpeg_into needs a C-contiguous "
+                         f"float32 (H, W, 3) output, got {out.dtype} "
+                         f"{out.shape}")
+    out_h, out_w = out.shape[0], out.shape[1]
     size = 1024 * 1024 * 3  # grow-on-demand keeps per-thread scratch small
     while size <= MAX_PIXELS * 3:
         scratch = _scratch(size)
@@ -94,11 +101,19 @@ def decode_resize_jpeg(data: bytes, out_h: int, out_w: int, scale: float = 1.0 /
             out.ctypes.data_as(ctypes.c_void_p),
         )
         if rc == 0:
-            return out
+            return True
         if rc != -2:  # decode error (not a too-small scratch)
-            return None
+            return False
         size = max(size * 4, scratch.size * 4)
-    return None
+    return False
+
+
+def decode_resize_jpeg(data: bytes, out_h: int, out_w: int, scale: float = 1.0 / 255.0):
+    """JPEG bytes → float32 (out_h, out_w, 3), TF bilinear semantics.
+    Returns None if the native library is unavailable or decode fails
+    (caller falls back to the PIL path)."""
+    out = np.empty((out_h, out_w, 3), np.float32)
+    return out if decode_resize_jpeg_into(data, out, scale) else None
 
 
 def scan_tfrecord(buf: bytes, validate: bool = True, chunk_records: int = 1 << 20):

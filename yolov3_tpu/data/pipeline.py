@@ -69,13 +69,20 @@ def create_dataset(dataset_config, image_size, max_bboxes, classes_name_file,
     sizes = [-1, -1]
     source = dataset_config["input_data_source"]
     if source == "tfrecords":
-        from .tfrecord import parse_tfrecords
+        from .tfrecord import parse_tfrecords, stream_batches
 
         for idx, split in enumerate(["train", "valid"]):
             tfdir = dataset_config["tfrecords"][split]
             datasets[idx] = Dataset(
                 lambda d=tfdir: parse_tfrecords(d, image_size, max_bboxes, classes_name_file)
             )
+            # zero-copy batched fast path (see batched()); .take/.map/
+            # shuffled() return fresh Datasets without this attribute, so
+            # any transformed view falls back to the generic path
+            datasets[idx].batched_factory = (
+                lambda bs, shuffle=None, workers=None, d=tfdir: stream_batches(
+                    d, image_size, max_bboxes, bs, class_file=classes_name_file,
+                    num_workers=workers or 4, shuffle=shuffle))
     elif source == "data_files":
         from .coco_json import create_dataset_from_files
 
@@ -132,6 +139,28 @@ def shuffled(dataset: "Dataset", buffer_size: int, seed: int) -> "Dataset":
             yield buf.pop(rng.randint(len(buf)))
 
     return Dataset(gen, size=dataset.size)
+
+
+def batched(dataset, batch_size: int, shuffle_buffer: int | None = None,
+            seed: int = 0, num_workers: int | None = None):
+    """Batches of ``dataset``, preferring the zero-copy streaming fast path.
+
+    Datasets built straight from a tfrecords dir carry a
+    ``batched_factory`` (create_dataset): worker threads decode each
+    example directly into its slot of a preallocated batch
+    (tfrecord.stream_batches) — no per-example buffers, no np.stack copy.
+    Every other dataset (COCO-JSON/VOC/debug, or any .take/.map/shuffled
+    view) goes through the generic ``Batcher``, optionally behind the
+    reservoir shuffle. Both paths produce bit-identical streams (pinned
+    by tests/test_stream_batches.py)."""
+    factory = getattr(dataset, "batched_factory", None)
+    if factory is not None:
+        return factory(batch_size,
+                       (shuffle_buffer, seed) if shuffle_buffer else None,
+                       num_workers)
+    if shuffle_buffer:
+        dataset = shuffled(dataset, shuffle_buffer, seed)
+    return Batcher(dataset, batch_size)
 
 
 class Batcher:

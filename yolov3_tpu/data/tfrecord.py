@@ -200,19 +200,28 @@ def parse_example(record: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def decode_detection_example(example: dict, image_size: int, max_bboxes: int, class_to_id):
-    """One parsed Example → (image float32 (S,S,3) in [0,1], labels (M,6))."""
+def decode_detection_example_into(example: dict, img_out: np.ndarray,
+                                  lab_out: np.ndarray, class_to_id):
+    """One parsed Example decoded straight into caller-provided slots:
+    ``img_out`` float32 (S, S, 3) gets the resized image in [0,1] (the
+    native path writes each pixel exactly once — no intermediate buffer),
+    ``lab_out`` float32 (max_bboxes, 6) gets the padded label rows. This
+    is the per-slot worker of ``stream_batches``."""
     from . import native
     from .image import decode_image, resize_bilinear
 
+    image_size = img_out.shape[0]
+    max_bboxes = lab_out.shape[0]
     encoded = example["image/encoded"][0]
-    img = None
+    done = False
     if encoded[:2] == b"\xff\xd8":  # JPEG → fused native decode+resize
-        img = native.decode_resize_jpeg(encoded, image_size, image_size)
-    if img is None:
+        done = native.decode_resize_jpeg_into(encoded, img_out)
+    if not done:
         img = decode_image(encoded)
-        img = resize_bilinear(img.astype(np.float32), image_size, image_size) / 255.0
+        img_out[...] = resize_bilinear(
+            img.astype(np.float32), image_size, image_size) / 255.0
 
+    lab_out[:] = 0.0
     xmin = np.asarray(example.get("image/object/bbox/xmin", []), np.float32)
     ymin = np.asarray(example.get("image/object/bbox/ymin", []), np.float32)
     xmax = np.asarray(example.get("image/object/bbox/xmax", []), np.float32)
@@ -222,19 +231,25 @@ def decode_detection_example(example: dict, image_size: int, max_bboxes: int, cl
     nboxes = len(xmin)
     if nboxes > max_bboxes:
         raise ValueError(f"example has {nboxes} boxes > max_bboxes={max_bboxes}")
-    labels = np.zeros((max_bboxes, 6), np.float32)
     if nboxes:
         # class lookup parity: unknown names → -1 (StaticHashTable default,
         # load_tfrecords.py:89-91)
         ids = np.asarray([class_to_id.get(n, -1) for n in names], np.float32) \
             if class_to_id is not None else np.ones((nboxes,), np.float32)
-        labels[:nboxes, 0] = xmin
-        labels[:nboxes, 1] = ymin
-        labels[:nboxes, 2] = xmax
-        labels[:nboxes, 3] = ymax
-        labels[:nboxes, 4] = 1.0
+        lab_out[:nboxes, 0] = xmin
+        lab_out[:nboxes, 1] = ymin
+        lab_out[:nboxes, 2] = xmax
+        lab_out[:nboxes, 3] = ymax
+        lab_out[:nboxes, 4] = 1.0
         if class_to_id is not None:
-            labels[:nboxes, 5] = ids
+            lab_out[:nboxes, 5] = ids
+
+
+def decode_detection_example(example: dict, image_size: int, max_bboxes: int, class_to_id):
+    """One parsed Example → (image float32 (S,S,3) in [0,1], labels (M,6))."""
+    img = np.empty((image_size, image_size, 3), np.float32)
+    labels = np.zeros((max_bboxes, 6), np.float32)
+    decode_detection_example_into(example, img, labels, class_to_id)
     return img, labels
 
 
@@ -343,3 +358,90 @@ def parse_tfrecords(tfrecords_dir: str, image_size: int, max_bboxes: int,
         finally:
             for fut in pending:
                 fut.cancel()
+
+
+def stream_batches(tfrecords_dir: str, image_size: int, max_bboxes: int,
+                   batch_size: int, class_file: str | None = None,
+                   num_workers: int = 4, shuffle=None):
+    """Zero-copy batched streaming: yield (images (B,S,S,3) f32,
+    labels (B,M,6) f32) with each example decoded by a worker thread
+    STRAIGHT INTO its batch slot.
+
+    Versus ``Batcher(Dataset(parse_tfrecords(...)))`` this removes the two
+    GIL-serialized costs the input-pipeline bench identified (PERF.md):
+    the per-example 2 MB output allocation and the 266 MB ``np.stack``
+    copy per 416² B=128 batch — each pixel is written exactly once, by the
+    native decoder, GIL-free. Up to two batches are in flight so decode of
+    batch k+1 overlaps the consumer's use of batch k. Batch arrays are
+    freshly allocated per batch on purpose: glibc recycles the just-freed
+    previous batch, so steady-state writes hit warm pages (the
+    buffer-ring alternative measured slower — PERF.md).
+
+    ``shuffle``: None or ``(buffer_size, seed)`` — reservoir-shuffles the
+    RAW records through ``pipeline.shuffled`` before decode. The swap
+    sequence depends only on positions and the seeded RNG, so the example
+    order is identical to shuffling decoded examples (pinned by test).
+
+    Semantics parity: exactly ``Batcher(shuffled?(Dataset(
+    parse_tfrecords(...))), batch_size)`` — same order, same values, same
+    drop-remainder behavior, and decode errors in the dropped remainder
+    still raise (the generic path decodes those examples too).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    class_to_id = None
+    if class_file:
+        from ..config import read_class_names
+
+        class_to_id = {n: i for i, n in enumerate(read_class_names(class_file))}
+
+    def records():
+        for path in iter_tfrecord_files(tfrecords_dir):
+            yield from iter_tfrecord_records(path)
+
+    rec_source = records()
+    if shuffle is not None:
+        from .pipeline import Dataset, shuffled
+
+        buffer_size, seed = shuffle
+        rec_source = iter(shuffled(Dataset(lambda: records()), buffer_size, seed))
+
+    def decode_into(record, img_slot, lab_slot):
+        decode_detection_example_into(
+            parse_example(record), img_slot, lab_slot, class_to_id)
+
+    def open_batch():
+        return (np.empty((batch_size, image_size, image_size, 3), np.float32),
+                np.zeros((batch_size, max_bboxes, 6), np.float32), [])
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        pending: list = []  # at most 2 full batches in flight
+        cur = open_batch()
+        slot = 0
+        try:
+            for record in rec_source:
+                images, labels, futs = cur
+                futs.append(pool.submit(decode_into, record,
+                                        images[slot], labels[slot]))
+                slot += 1
+                if slot == batch_size:
+                    pending.append(cur)
+                    cur = open_batch()
+                    slot = 0
+                    if len(pending) == 2:
+                        images, labels, futs = pending.pop(0)
+                        for f in futs:
+                            f.result()
+                        yield images, labels
+            # surface decode errors from the dropped remainder (generic-path
+            # parity: Batcher pulls those examples through decode too)
+            pending.append(cur)
+            for images, labels, futs in pending:
+                for f in futs:
+                    f.result()
+                if len(futs) == batch_size:
+                    yield images, labels
+        finally:
+            for _, _, futs in pending + [cur]:
+                for f in futs:
+                    f.cancel()
