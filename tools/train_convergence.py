@@ -162,8 +162,10 @@ def main():
                     help="default: output/shapes_conv<image_size>")
     ap.add_argument("--out_dir", default=None,
                     help="default: output/convergence/<model>")
-    ap.add_argument("--qat", default=False,
-                    help="trainer qat mode (False/'weights'/'full')")
+    ap.add_argument(
+        "--qat", default=False,
+        type=lambda s: False if s.strip().lower() in ("false", "0", "") else s,
+        help="trainer qat mode (False/'weights'/'activations'/'full')")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize activations (fits the 4096-image "
                          "staged corpus + full-model B=128 in HBM)")
