@@ -46,6 +46,15 @@ def main():
     args = ap.parse_args()
     os.chdir(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+    ckpt_exists = any(os.path.exists(args.backbone_ckpt + suf)
+                      for suf in ("", ".npz", ".index"))
+    if not args.eval_only and not ckpt_exists:
+        ap.error(
+            f"backbone checkpoint {args.backbone_ckpt!r} not found — run "
+            "`python tools/train_convergence.py --model yolov3` first (it "
+            "leaves the converged checkpoint at the default path), or pass "
+            "--backbone_ckpt <path> to an existing full-yolov3 checkpoint")
+
     from tools.train_convergence import EpochCapture
     from yolov3_tpu.config import load_yaml
 

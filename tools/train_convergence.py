@@ -162,13 +162,34 @@ def main():
                     help="default: output/shapes_conv<image_size>")
     ap.add_argument("--out_dir", default=None,
                     help="default: output/convergence/<model>")
+    def qat_arg(s):
+        v = s.strip().lower()
+        if v in ("false", "0", ""):
+            return False
+        if v in ("true", "1"):
+            return "weights"
+        if v not in ("weights", "activations", "full"):
+            raise argparse.ArgumentTypeError(
+                f"--qat must be false/true/weights/activations/full, got {s!r}")
+        return v
+
     ap.add_argument(
-        "--qat", default=False,
-        type=lambda s: False if s.strip().lower() in ("false", "0", "") else s,
-        help="trainer qat mode (False/'weights'/'activations'/'full')")
+        "--qat", default=False, type=qat_arg,
+        help="trainer qat mode (false/true/'weights'/'activations'/'full')")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize activations (fits the 4096-image "
                          "staged corpus + full-model B=128 in HBM)")
+    ap.add_argument("--feed", default="device", choices=["device", "stream"],
+                    help="'device': stage the whole corpus in HBM as uint8 "
+                         "(device_dataset; zero host work per epoch, but the "
+                         "staged corpus + full-model B=128 activations need "
+                         "--remat, which taxes the step ~25%%). 'stream': "
+                         "zero-copy batched host streaming "
+                         "(tfrecord.stream_batches + DevicePrefetcher) — no "
+                         "HBM staging, so the full model trains without "
+                         "remat at the device rate when the feed keeps up")
+    ap.add_argument("--stream_workers", type=int, default=8,
+                    help="decode threads for --feed stream")
     ap.add_argument("--augment", default=None,
                     help="augmentation keys as JSON, e.g. "
                          '\'{"hsv": {"hue": 0.1}}\'')
@@ -225,13 +246,16 @@ def main():
             seed=args.seed,
             shuffle=True,
             mixed_precision=True,
-            device_dataset={"dtype": "uint8"},
             lr_schedule={"type": "cosine", "warmup_epochs": 2,
                          "min_lr_fraction": 0.05},
             qat=args.qat,
             remat=args.remat,
             compilation_cache=True,
         )
+        if args.feed == "device":
+            cfg["device_dataset"] = {"dtype": "uint8"}
+        else:
+            cfg["stream_workers"] = args.stream_workers
         if args.augment:
             cfg["augmentation"] = json.loads(args.augment)
         with open(os.path.join(out_dir, "train_config.json"), "w") as f:
@@ -246,6 +270,7 @@ def main():
               "n_train": args.n_train, "n_val": args.n_val,
               "max_overlap": args.max_overlap,
               "batch_size": args.batch_size, "epochs": args.epochs,
+              "feed": args.feed, "remat": args.remat, "qat": args.qat,
               "wall_seconds": wall,
               "train_loss": capture.series["train_loss"],
               "val_loss": capture.series["val_loss"],

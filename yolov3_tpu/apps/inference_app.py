@@ -245,7 +245,10 @@ class Inference:
         spec = parse_model_config(model_config_file, nclasses)
         params, bn_state = init_model(jax.random.PRNGKey(0), spec)
 
-        with open("model_inference_summary.txt", "w") as f:
+        # summary lands in the run's output_dir (reference inference.py:98-99
+        # writes cwd-relative; keeping it with the run's artifacts means
+        # tools driven from the repo root never dirty the tracked copy)
+        with open(os.path.join(output_dir, "model_inference_summary.txt"), "w") as f:
             from .train_app import model_summary
 
             f.write(model_summary(spec, params) + "\n")
