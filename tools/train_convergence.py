@@ -195,6 +195,8 @@ def main():
                          '\'{"hsv": {"hue": 0.1}}\'')
     ap.add_argument("--eval_only", action="store_true",
                     help="skip training; evaluate the existing checkpoint")
+    ap.add_argument("--skip_eval", action="store_true",
+                    help="train only (feed-mode timing runs)")
     args = ap.parse_args()
 
     data_root = args.data_root or f"output/shapes_conv{args.image_size}"
@@ -275,13 +277,14 @@ def main():
               "train_loss": capture.series["train_loss"],
               "val_loss": capture.series["val_loss"],
               "img_per_sec": capture.series["img_per_sec"]}
-    print("evaluating mAP@0.5 on the held-out val split ...")
-    result["eval"] = evaluate_map50(model_config, ckpt, data_root,
-                                    args.image_size)
+    if not args.skip_eval:
+        print("evaluating mAP@0.5 on the held-out val split ...")
+        result["eval"] = evaluate_map50(model_config, ckpt, data_root,
+                                        args.image_size)
     with open(os.path.join(out_dir, "result.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({"model": args.model,
-                      "map50": result["eval"]["map50"],
+                      "map50": result.get("eval", {}).get("map50"),
                       "final_val_loss":
                           capture.series["val_loss"].get(args.epochs),
                       "wall_seconds": wall}))
