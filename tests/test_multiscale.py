@@ -146,3 +146,35 @@ def test_shuffle_with_multiscale_e2e(workdir, caplog):
     msgs = [r.getMessage() for r in caplog.records]
     assert any("shuffle: buffer 1024" in m for m in msgs)
     assert os.path.exists(f"{workdir}/ms_shuffle.tf.npz")
+
+
+def test_multi_scale_device_dataset_e2e(workdir, caplog):
+    """device_dataset + multi_scale: the split stages once at image_size
+    and the 64-scale epoch runs as a device-side bilinear downscale of
+    each gathered batch (stream feeds are tunnel-bound on remote chips,
+    so this is the path that makes multi-scale usable with HBM staging)."""
+    from yolov3_tpu.apps.train_app import Train
+
+    cfg = _train_cfg(workdir, "ms_dd_run", multi_scale=[64, 96],
+                     device_dataset={"dtype": "uint8"}, shuffle=True)
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        with caplog.at_level(logging.INFO):
+            Train()(**cfg)
+    finally:
+        os.chdir(cwd)
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("device_dataset: staged" in m for m in msgs)
+    assert any("multi_scale image_size 64" in m for m in msgs)
+    assert os.path.exists(f"{workdir}/ms_dd_run.tf.npz")
+
+
+def test_multi_scale_device_dataset_rejects_upscale(workdir):
+    """Sizes above image_size can't come from a fixed staged corpus."""
+    from yolov3_tpu.apps.train_app import Train
+
+    cfg = _train_cfg(workdir, "ms_dd_bad", multi_scale=[96, 128],
+                     device_dataset=True)
+    with pytest.raises(ValueError, match="size <= image_size"):
+        Train()(**cfg)

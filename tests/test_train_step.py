@@ -230,3 +230,48 @@ def test_optimizer_config_strictness():
         make_adam(1e-3, optimizer={"momentum": 0.95})
     with pytest.raises(ValueError, match="unknown sgd optimizer keys"):
         make_adam(1e-3, optimizer={"type": "sgd", "momentun": 0.95})
+
+
+@pytest.mark.parametrize("remat", [True, "conv"])
+def test_remat_matches_no_remat(setup, remat):
+    """Both remat modes are pure rescheduling: one train step must produce
+    the same loss and parameters as remat=False (bitwise-close; XLA may
+    reassociate across the checkpoint boundary). remat='conv' saves only
+    the checkpoint_name-tagged conv outputs and recomputes the BN/leaky/
+    pool tail; remat=True recomputes whole sub-models."""
+    spec, params, state = setup
+    rng = np.random.RandomState(3)
+    grid_sizes = head_grid_sizes(spec, 160)
+    images, labels = _batch(rng)
+    optimizer = make_adam(1e-3)
+
+    def one_step(remat_mode):
+        step = make_train_step(spec, ANCHORS, grid_sizes, batch_size=2,
+                               optimizer=optimizer, remat=remat_mode)
+        ts = init_train_state(params, state, optimizer)
+        ts, metrics = step(ts, images, labels)
+        return float(metrics["total_loss"]), ts["params"]
+
+    loss_ref, params_ref = one_step(False)
+    loss_rm, params_rm = one_step(remat)
+    assert loss_rm == pytest.approx(loss_ref, rel=1e-6)
+    flat_ref = jax.tree.leaves(params_ref)
+    flat_rm = jax.tree.leaves(params_rm)
+    for a, b in zip(flat_ref, flat_rm):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-7)
+
+
+def test_remat_invalid_value_rejected():
+    from yolov3_tpu.apps.train_app import Train
+
+    with pytest.raises(ValueError, match="remat"):
+        Train()(model_config_file="x", anchors_file="x", image_size=96,
+                training_mode="fit", batch_size=1, epochs=1,
+                learning_rate=1e-3, classes_name_file="x",
+                max_dataset_examples=None, max_bboxes=10,
+                debug_mode=False, early_stop_patience=1,
+                render_dataset_example=False,
+                transfer_learning_config={}, dataset_config={},
+                output_checkpoints_path="x", early_stopping=False,
+                weights_save_peroid=1, remat="convv")

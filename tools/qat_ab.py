@@ -40,11 +40,19 @@ def main():
     ap.add_argument("--data_root", default=None)
     ap.add_argument("--out_root", default="output/convergence")
     ap.add_argument("--eval_only", action="store_true")
+    ap.add_argument("--modes", default=None,
+                    help="comma-separated subset of plain,qat_weights,"
+                         "qat_full (full-model runs cost ~1h each)")
+    ap.add_argument("--remat", default=None,
+                    help="forwarded to train_convergence (full yolov3 at "
+                         "B=128 needs 'conv' beside the staged corpus)")
     args = ap.parse_args()
 
     data_root = args.data_root or f"output/shapes_conv{args.image_size}"
+    modes = ([m for m in MODES if m[0] in set(args.modes.split(","))]
+             if args.modes else MODES)
     rows = {}
-    for name, qat in MODES:
+    for name, qat in modes:
         out_dir = (os.path.join(args.out_root, args.model) if name == "plain"
                    else os.path.join(args.out_root, f"{args.model}_{name}"))
         ckpt = os.path.join(out_dir, f"{args.model}.tf")
@@ -58,6 +66,8 @@ def main():
                    "--image_size", str(args.image_size),
                    "--data_root", data_root, "--out_dir", out_dir,
                    "--qat", qat]
+            if args.remat:
+                cmd += ["--remat", args.remat]
             print("::", " ".join(cmd), flush=True)
             subprocess.run(cmd, check=True)
 
@@ -80,7 +90,7 @@ def main():
     out = {"model": args.model, "image_size": args.image_size,
            "epochs": args.epochs, "n_train": args.n_train,
            "data_root": data_root, "matrix": rows}
-    path = os.path.join(args.out_root, "qat_ab.json")
+    path = os.path.join(args.out_root, f"qat_ab_{args.model}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out["matrix"]))

@@ -176,9 +176,24 @@ def main():
     ap.add_argument(
         "--qat", default=False, type=qat_arg,
         help="trainer qat mode (false/true/'weights'/'activations'/'full')")
-    ap.add_argument("--remat", action="store_true",
-                    help="rematerialize activations (fits the 4096-image "
-                         "staged corpus + full-model B=128 in HBM)")
+    def remat_arg(s):
+        v = s.strip().lower()
+        if v in ("false", "0", ""):
+            return False
+        if v in ("true", "1"):
+            return True
+        if v != "conv":
+            raise argparse.ArgumentTypeError(
+                f"--remat takes false/true/conv, got {s!r}")
+        return "conv"
+
+    ap.add_argument("--remat", nargs="?", const=True, default=False,
+                    type=remat_arg,
+                    help="rematerialize activations: bare flag/true = "
+                         "checkpoint whole sub-models (max HBM savings, "
+                         "~25%% step tax); 'conv' = save conv outputs, "
+                         "recompute only the BN/leaky/pool tail (fits the "
+                         "staged corpus + full-model B=128 at ~zero tax)")
     ap.add_argument("--feed", default="device", choices=["device", "stream"],
                     help="'device': stage the whole corpus in HBM as uint8 "
                          "(device_dataset; zero host work per epoch, but the "
@@ -193,6 +208,11 @@ def main():
     ap.add_argument("--augment", default=None,
                     help="augmentation keys as JSON, e.g. "
                          '\'{"hsv": {"hue": 0.1}}\'')
+    ap.add_argument("--extra", default=None,
+                    help="JSON dict of extra trainer config keys merged "
+                         "last (e.g. '{\"ema\": {\"decay\": 0.999}}' or "
+                         "'{\"multi_scale\": {\"sizes\": [320, 416]}}' — "
+                         "used by tools/augment_ab.py)")
     ap.add_argument("--eval_only", action="store_true",
                     help="skip training; evaluate the existing checkpoint")
     ap.add_argument("--skip_eval", action="store_true",
@@ -260,6 +280,8 @@ def main():
             cfg["stream_workers"] = args.stream_workers
         if args.augment:
             cfg["augmentation"] = json.loads(args.augment)
+        if args.extra:
+            cfg.update(json.loads(args.extra))
         with open(os.path.join(out_dir, "train_config.json"), "w") as f:
             json.dump(cfg, f, indent=1)
         logging.getLogger("yolov3_tpu.apps.train_app").addHandler(capture)
@@ -273,6 +295,8 @@ def main():
               "max_overlap": args.max_overlap,
               "batch_size": args.batch_size, "epochs": args.epochs,
               "feed": args.feed, "remat": args.remat, "qat": args.qat,
+              "augment": args.augment and json.loads(args.augment),
+              "extra": args.extra and json.loads(args.extra),
               "wall_seconds": wall,
               "train_loss": capture.series["train_loss"],
               "val_loss": capture.series["val_loss"],

@@ -138,6 +138,10 @@ class Train:
         accum_steps=1,
         **kwargs,
     ):
+        if remat not in (False, True, "conv", None):
+            raise ValueError(
+                f"remat must be false, true, or 'conv' "
+                f"(save-conv-outputs policy), got {remat!r}")
         if not logging.getLogger().handlers:
             logging.basicConfig(level=logging.INFO, format="%(levelname)s:%(name)s:%(message)s")
         logging.getLogger().setLevel(logging.INFO)
@@ -434,6 +438,28 @@ class Train:
                 _ms_cache[size] = (build_train_step(size), ds_s)
             return _ms_cache[size]
 
+        _ms_dd_cache = {}
+
+        def ms_device(size):
+            """(train_step, device resize) for device_dataset multi-scale.
+
+            The staged corpus stays at image_size; an epoch at a smaller
+            scale downscales each gathered batch on device (bilinear, like
+            tf.image.resize). Labels are normalized coords — unchanged.
+            Semantics differ from the host path (resize-of-resize instead
+            of re-letterboxing the originals), which is the usual price of
+            any staged-corpus scale jitter; it IS the augmentation."""
+            if size == image_size:
+                return train_step, None
+            if size not in _ms_dd_cache:
+                def rs(im, _size=size):
+                    return jax.image.resize(
+                        im, (im.shape[0], _size, _size, im.shape[3]),
+                        method="bilinear")
+
+                _ms_dd_cache[size] = (build_train_step(size), jax.jit(rs))
+            return _ms_dd_cache[size]
+
         def ms_size_for(epoch):
             if ms_mode == "random":
                 # keyed by epoch (not a stateful RNG) so resume picks the
@@ -468,10 +494,13 @@ class Train:
         device_ds_conf = kwargs.get("device_dataset")
         dd_train = dd_val = None
         if device_ds_conf:
-            if ms_sizes:
+            if ms_sizes and max(ms_sizes) > image_size:
                 raise ValueError(
-                    "device_dataset is incompatible with multi_scale "
-                    "(HBM staging is per-size)")
+                    "device_dataset + multi_scale requires every size <= "
+                    f"image_size ({image_size}): the split is staged once at "
+                    "image_size and smaller sizes run as device-side "
+                    "bilinear downscales (staging per size would multiply "
+                    "HBM). Raise image_size to the largest scale wanted.")
             if put is not None:
                 raise ValueError(
                     "device_dataset + multihost is not supported "
@@ -583,11 +612,14 @@ class Train:
                 train_state = {**train_state,
                                "opt_state": opt_state._replace(hyperparams=hp)}
                 log.info(f"epoch {epoch}: learning_rate {cur_lr:.6g}")
-            epoch_step, epoch_ds = train_step, ds_train
+            epoch_step, epoch_ds, ms_resize = train_step, ds_train, None
             if ms_sizes:
                 size = ms_size_for(epoch)
                 log.info(f"epoch {epoch}: multi_scale image_size {size}")
-                epoch_step, epoch_ds = ms_pipeline(size)
+                if dd_train is not None:
+                    epoch_step, ms_resize = ms_device(size)
+                else:
+                    epoch_step, epoch_ds = ms_pipeline(size)
             t0 = time.time()
             nbatches = 0
             if dd_train is not None:
@@ -596,6 +628,9 @@ class Train:
                 epoch_iter = dd_train.batches(
                     kwargs.get("seed", 0) * 1000003 + epoch
                     if shuffle_buffer else None)
+                if ms_resize is not None:
+                    epoch_iter = ((ms_resize(im), lb)
+                                  for im, lb in epoch_iter)
             else:
                 # epoch-keyed shuffle seed: fresh order each epoch, identical
                 # sequence across an interrupted+resumed run. Multi-host
