@@ -22,6 +22,8 @@ Variants:
   multi_scale  {sizes: [<=image_size...], mode: cycle} — device-side
                downscales of the staged corpus (the stream feed is
                tunnel-bound in this env, so scales stay <= image_size)
+  sgd          optimizer {sgd, momentum .9, nesterov} — Darknet's actual
+               regime vs the reference's Adam (same cosine LR)
 
 Writes <out_root>/augment_ab.json with one mAP@0.5 row per variant.
 
@@ -47,6 +49,8 @@ def variants(scales):
         ("ema", ["--extra", '{"ema": {"decay": 0.999}}'], "ema"),
         ("multi_scale", ["--extra", json.dumps({"multi_scale": {
                              "sizes": scales, "mode": "cycle"}})], None),
+        ("sgd", ["--extra", '{"optimizer": {"type": "sgd", "momentum": 0.9,'
+                            ' "nesterov": true}}'], None),
     ]
 
 
