@@ -51,6 +51,12 @@ def variants(scales):
                              "sizes": scales, "mode": "cycle"}})], None),
         ("sgd", ["--extra", '{"optimizer": {"type": "sgd", "momentum": 0.9,'
                             ' "nesterov": true}}'], None),
+        # do the wins compose? mosaic+HSV+EMA together (the typical
+        # "turn everything on" recipe a user would reach for)
+        ("all", ["--augment",
+                 '{"mosaic": 0.5, "hue": 0.1, "saturation": 1.5,'
+                 ' "exposure": 1.5}',
+                 "--extra", '{"ema": {"decay": 0.999}}'], "ema"),
     ]
 
 
