@@ -91,7 +91,13 @@ def main():
             continue
         out_dir = os.path.join(args.out_root, name)
         ckpt = os.path.join(out_dir, f"{args.model}.tf")
-        if not args.eval_only:
+        # resume support: a variant whose training completed (checkpoint +
+        # result.json both present) is not retrained — a wedged-TPU-tunnel
+        # abort mid-sweep (observed 2026-08-21) then costs only the
+        # unfinished variants on rerun
+        done = (os.path.exists(ckpt + ".npz")
+                and os.path.exists(os.path.join(out_dir, "result.json")))
+        if not args.eval_only and not done:
             cmd = [sys.executable, "tools/train_convergence.py",
                    "--model", args.model, "--epochs", str(args.epochs),
                    "--batch_size", str(args.batch_size),
