@@ -153,9 +153,19 @@ def hsv_to_rgb(img):
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    # branchless sextant pick. jnp.choose lowers to a dynamic GATHER,
+    # which the TPU VPU executes near-serially — measured 714 ms/step for
+    # the HSV jitter at B=64 416² (26× the augment-free step). An i==k
+    # select chain is pure vectorized VPU work.
+    def pick(c0, c1, c2, c3, c4, c5):
+        out = c0
+        for k, c in enumerate((c1, c2, c3, c4, c5), start=1):
+            out = jnp.where(i == k, c, out)
+        return out
+
+    r = pick(v, q, p, p, t, v)
+    g = pick(t, v, v, q, p, p)
+    b = pick(p, p, t, v, v, q)
     return jnp.stack([r, g, b], axis=-1)
 
 
