@@ -108,13 +108,15 @@ def main():
                     help="bench serving tier (headline default int8)")
     ap.add_argument("--timeout", type=int, default=600)
     ap.add_argument("--only", default=None,
-                    help="substring filter over combo names")
+                    help="comma-separated substring filters over combo "
+                         "names (a combo runs if ANY token matches)")
     ap.add_argument("--out", default="output/xla_flag_sweep.json")
     args = ap.parse_args()
 
     rows = {}
     for name, flags in COMBOS.items():
-        if args.only and args.only not in name:
+        if args.only and not any(tok and tok in name
+                                 for tok in args.only.split(",")):
             continue
         rows[name] = dict(run_bench(flags, args.quantize, args.timeout),
                           flags=flags or [BASE_VMEM])
