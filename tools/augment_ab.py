@@ -94,9 +94,23 @@ def main():
         # resume support: a variant whose training completed (checkpoint +
         # result.json both present) is not retrained — a wedged-TPU-tunnel
         # abort mid-sweep (observed 2026-08-21) then costs only the
-        # unfinished variants on rerun
-        done = (os.path.exists(ckpt + ".npz")
-                and os.path.exists(os.path.join(out_dir, "result.json")))
+        # unfinished variants on rerun. A stale completed run from a
+        # DIFFERENT regime (other --epochs/--n_train/...) must retrain,
+        # not silently mix into the comparison table (ADVICE r4 #3):
+        # the saved result.json's regime fields are compared first.
+        result_path = os.path.join(out_dir, "result.json")
+        done = os.path.exists(ckpt + ".npz") and os.path.exists(result_path)
+        if done:
+            prev = json.load(open(result_path))
+            regime = {"epochs": args.epochs, "batch_size": args.batch_size,
+                      "n_train": args.n_train, "n_val": args.n_val,
+                      "image_size": args.image_size, "data_root": data_root}
+            stale = {k: (prev.get(k), v) for k, v in regime.items()
+                     if prev.get(k) != v}
+            if stale:
+                print(f":: {name}: stale checkpoint from a different regime "
+                      f"{stale} — retraining", flush=True)
+                done = False
         if not args.eval_only and not done:
             cmd = [sys.executable, "tools/train_convergence.py",
                    "--model", args.model, "--epochs", str(args.epochs),
@@ -112,7 +126,6 @@ def main():
         r = evaluate_map50(model_config, eval_ckpt, data_root,
                            args.image_size)
         run_meta = {}
-        result_path = os.path.join(out_dir, "result.json")
         if os.path.exists(result_path):
             full = json.load(open(result_path))
             run_meta = {"wall_seconds": full.get("wall_seconds"),

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -171,7 +172,9 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
         # monotone in practice: a threshold that trips it on one batch trips
         # it on nearly all), so later batches skip the discarded low-K pass.
         k = DEFAULT_NUM_CANDIDATES
+        t_thresh, n_eval_images = time.time(), 0
         for images, labels, n_real in batches():
+            n_eval_images += n_real
             out = predict(jnp.asarray(images), jnp.float32(nms_iou_threshold),
                           jnp.float32(score_threshold), num_candidates=k)
             n_cand = out[2].shape[1]
@@ -211,6 +214,10 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
                                        gt_boxes[i][gt_valid[i]],
                                        gt_classes[i][gt_valid[i]])
 
+        # wall throughput of the pass (prediction + matching; first
+        # threshold includes compile) — the benchmarks/README promise that
+        # eval artifacts record img/s alongside mAP (VERDICT r4 item 6)
+        wall_s = time.time() - t_thresh
         recall, precision = evaluator.recall_precision()
         print("Results Bbox and Classes:")
         for k, v in evaluator.counters.items():
@@ -220,6 +227,8 @@ def evaluate(evaluate_config: dict, detect_config: dict, max_eval_images=None,
             print(f" {k}: {v}", end="")
         print(f"\nrecall: {recall}, precision: {precision}")
         entry = {"score_threshold": score_threshold, "recall": recall, "precision": precision,
+                 "wall_seconds": round(wall_s, 2),
+                 "images_per_sec": round(n_eval_images / wall_s, 2) if wall_s else None,
                  "counters": {k: np.asarray(v).tolist()
                               for k, v in evaluator.counters.items()},
                  "counters_oneclass": {k: np.asarray(v).tolist()
