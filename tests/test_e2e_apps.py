@@ -135,6 +135,11 @@ def test_train_then_evaluate(workdir, trained_checkpoint):
     (entry,) = summary["sweep"]
     assert entry["score_threshold"] == 0.1
     assert len(entry["recall"]) == 3 and len(entry["precision"]) == 3
+    # each sweep entry records its wall throughput (benchmarks/README
+    # promise: eval artifacts pin img/s alongside mAP)
+    assert entry["wall_seconds"] > 0
+    assert entry["images_per_sec"] == pytest.approx(
+        8 / entry["wall_seconds"], rel=0.01)
     np.testing.assert_allclose(
         [0.0 if v is None else v for v in entry["recall"]],
         np.nan_to_num(r["recall"]), atol=1e-9)
