@@ -695,9 +695,16 @@ class Train:
                             sharding=sharding, put=put))
             for batch_i, (images, labels) in enumerate(val_iter):
                 metrics = eval_step(val_src["params"], val_src["bn_state"], images, labels)
-                val_losses.append(float(metrics["total_loss"]))
+                # keep the per-batch loss ON DEVICE: a float() here is a
+                # sync scalar fetch per batch, and on the tunneled chip each
+                # fetch is a full RTT — measured ~14 s/epoch of pure wait at
+                # 8 val batches (44% of the multi-scale flagship's epoch
+                # wall). One stacked fetch after the loop pays one RTT.
+                val_losses.append(metrics["total_loss"])
                 if verbose:
                     self._log_metrics(epoch, "val", batch_i, cur_lr, metrics)
+            if val_losses:
+                val_losses = np.asarray(jnp.stack(val_losses)).tolist()
             if val_losses:
                 log.info(f"epoch {epoch}: val_loss {float(np.mean(val_losses)):.4f}")
                 if tb_writer:
