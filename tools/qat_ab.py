@@ -56,8 +56,23 @@ def main():
         out_dir = (os.path.join(args.out_root, args.model) if name == "plain"
                    else os.path.join(args.out_root, f"{args.model}_{name}"))
         ckpt = os.path.join(out_dir, f"{args.model}.tf")
-        if not args.eval_only and not (
-                name == "plain" and os.path.exists(ckpt + ".npz")):
+        # the plain row may reuse an existing (flagship) checkpoint — but
+        # only from the SAME regime; a leftover from different
+        # epochs/corpus args must retrain, not contaminate the A/B
+        # (ADVICE r4 #3, same guard as tools/augment_ab.py)
+        plain_reusable = name == "plain" and os.path.exists(ckpt + ".npz")
+        if plain_reusable:
+            rp = os.path.join(out_dir, "result.json")
+            prev = json.load(open(rp)) if os.path.exists(rp) else {}
+            regime = {"epochs": args.epochs, "n_train": args.n_train,
+                      "image_size": args.image_size, "data_root": data_root}
+            stale = {k: (prev.get(k), v) for k, v in regime.items()
+                     if prev.get(k) != v}
+            if stale:
+                print(f":: plain: stale checkpoint from a different regime "
+                      f"{stale} — retraining", flush=True)
+                plain_reusable = False
+        if not args.eval_only and not plain_reusable:
             # subprocess per run: jit caches and the device-resident corpus
             # from one training run would otherwise bloat the next's HBM
             cmd = [sys.executable, "tools/train_convergence.py",
