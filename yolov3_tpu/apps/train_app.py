@@ -404,7 +404,7 @@ class Train:
         # is comparable across epochs. Params are resolution-independent
         # (fully convolutional), so checkpoints/resume are unaffected.
         multi_scale = kwargs.get("multi_scale")
-        ms_sizes, ms_mode = None, "cycle"
+        ms_sizes, ms_mode, ms_interval = None, "cycle", "epoch"
         if multi_scale:
             ms_conf = ({"sizes": list(multi_scale)}
                        if isinstance(multi_scale, (list, tuple))
@@ -413,6 +413,32 @@ class Train:
             ms_mode = ms_conf.get("mode", "cycle")
             if ms_mode not in ("cycle", "random"):
                 raise ValueError(f"multi_scale mode must be cycle|random, got {ms_mode!r}")
+            # `interval`: how often the input resolution switches.
+            #   "epoch" (default) — one size per epoch (one compiled step
+            #   swap per epoch; coarsest granularity).
+            #   N (int, steps)   — Darknet's actual regime (resize every 10
+            #   batches, darknet detector.c). Sub-epoch cycling matters for
+            #   BatchNorm: per-EPOCH cycling lets the BN running statistics
+            #   chase the last-trained scale (momentum^steps_per_epoch ≈ 0
+            #   of the older scales' mass survives an epoch), so the saved
+            #   model is only well-calibrated at whatever size the final
+            #   epoch used — measured 0.22 vs 0.87 mAP@0.5 at the
+            #   non-final scale on the 608-staged flagship. Step-interval
+            #   cycling blends the statistics across scales continuously.
+            #   Requires device_dataset (the batch is staged once at
+            #   image_size and resized on device per batch).
+            ms_interval = ms_conf.get("interval", "epoch")
+            if ms_interval != "epoch":
+                ms_interval = int(ms_interval)
+                if ms_interval < 1:
+                    raise ValueError(
+                        f"multi_scale interval must be 'epoch' or a positive "
+                        f"step count, got {ms_interval}")
+                if not kwargs.get("device_dataset"):
+                    raise ValueError(
+                        "multi_scale interval in steps requires "
+                        "device_dataset (the split is staged once at "
+                        "image_size and resized per batch on device)")
             # derive the model's max stride at a power-of-two probe size:
             # the base image_size itself may not be stride-aligned, and
             # SAME-padding ceil would then give a wrong divisor
@@ -423,7 +449,8 @@ class Train:
                 raise ValueError(
                     f"multi_scale sizes {bad} not divisible by the model's "
                     f"max stride {max_stride}")
-            log.info(f"multi_scale: sizes {ms_sizes} ({ms_mode})")
+            log.info(f"multi_scale: sizes {ms_sizes} ({ms_mode}, "
+                     f"interval {ms_interval})")
 
         _ms_cache = {}
 
@@ -467,6 +494,19 @@ class Train:
                 r = np.random.RandomState(kwargs.get("seed", 0) * 100003 + epoch)
                 return ms_sizes[int(r.randint(len(ms_sizes)))]
             return ms_sizes[(epoch - 1) % len(ms_sizes)]
+
+        def ms_size_for_step(epoch, bi):
+            """Size for batch ``bi`` under step-interval cycling (keyed by
+            (epoch, slot), not a stateful RNG — resume-deterministic)."""
+            slot = bi // ms_interval
+            if ms_mode == "random":
+                r = np.random.RandomState(
+                    (kwargs.get("seed", 0) * 100003 + epoch) * 7919 + slot)
+                return ms_sizes[int(r.randint(len(ms_sizes)))]
+            # epoch offset so consecutive epochs don't start on the same
+            # size (full coverage even when an epoch has < interval*len
+            # batches)
+            return ms_sizes[(slot + epoch) % len(ms_sizes)]
 
         # train-split shuffling (extension, off by default — the reference's
         # tf.data pipelines never shuffle): `shuffle: true` (buffer 1024) or
@@ -613,7 +653,8 @@ class Train:
                                "opt_state": opt_state._replace(hyperparams=hp)}
                 log.info(f"epoch {epoch}: learning_rate {cur_lr:.6g}")
             epoch_step, epoch_ds, ms_resize = train_step, ds_train, None
-            if ms_sizes:
+            ms_per_step = ms_sizes is not None and ms_interval != "epoch"
+            if ms_sizes and not ms_per_step:
                 size = ms_size_for(epoch)
                 log.info(f"epoch {epoch}: multi_scale image_size {size}")
                 if dd_train is not None:
@@ -642,13 +683,27 @@ class Train:
                             seed=kwargs.get("seed", 0) * 1000003 + epoch,
                             num_workers=stream_workers),
                     sharding=sharding, put=put)
+            ms_used = {}
             with trace(profile_trace_dir if epoch == start_epoch else None):
-                for images, labels in epoch_iter:
+                for bi, (images, labels) in enumerate(epoch_iter):
+                    step_fn = epoch_step
+                    if ms_per_step:
+                        # Darknet-style sub-epoch resolution switch: pick
+                        # this slot's size, resize the staged batch on
+                        # device, run that size's compiled step (lazy-cached)
+                        size = ms_size_for_step(epoch, bi)
+                        ms_used[size] = ms_used.get(size, 0) + 1
+                        step_fn, rs = ms_device(size)
+                        if rs is not None:
+                            images = rs(images)
                     with timer:
-                        train_state, metrics = epoch_step(train_state, images, labels)
+                        train_state, metrics = step_fn(train_state, images, labels)
                     nbatches += 1
                     if verbose:
                         self._log_metrics(epoch, "train", nbatches - 1, cur_lr, metrics)
+            if ms_used:
+                log.info(f"epoch {epoch}: multi_scale batches per size "
+                         f"{dict(sorted(ms_used.items()))}")
             if nbatches == 0:
                 raise ValueError("Dataset size less than batch size!")
             # fetch the last step's loss BEFORE taking the epoch time: on an
