@@ -35,6 +35,13 @@ VARIANTS = {
     "single_scale_416": "output/convergence/yolov3/yolov3.tf",
     "ms_per_epoch": "output/convergence/yolov3_ms/yolov3.tf",
     "ms_interval10": "output/convergence/yolov3_msi/yolov3.tf",
+    # BN-recalibrated siblings (tools/bn_recalibrate.py): same conv
+    # weights, running statistics recomputed at the named size. The
+    # per-epoch+cal416 row isolates how much of its 416 deficit is pure
+    # BN miscalibration; the single-scale+cal608 row separates the BN
+    # component of the 608 collapse from the feature component.
+    "ms_per_epoch_cal416": "output/convergence/yolov3_ms/yolov3.tf.cal416",
+    "single_scale_416_cal608": "output/convergence/yolov3/yolov3.tf.cal608",
 }
 EVALS = {
     "416": ("output/shapes_conv416", 416),
