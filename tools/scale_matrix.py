@@ -42,6 +42,10 @@ VARIANTS = {
     # component of the 608 collapse from the feature component.
     "ms_per_epoch_cal416": "output/convergence/yolov3_ms/yolov3.tf.cal416",
     "single_scale_416_cal608": "output/convergence/yolov3/yolov3.tf.cal608",
+    # the recommended recipe: interval-trained (scale-robust features,
+    # deliberately scale-blended BN) + per-scale recalibration
+    "ms_interval10_cal416": "output/convergence/yolov3_msi/yolov3.tf.cal416",
+    "ms_interval10_cal608": "output/convergence/yolov3_msi/yolov3.tf.cal608",
 }
 EVALS = {
     "416": ("output/shapes_conv416", 416),
