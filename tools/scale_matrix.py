@@ -43,11 +43,16 @@ VARIANTS = {
     "ms_per_epoch_cal416": "output/convergence/yolov3_ms/yolov3.tf.cal416",
     "single_scale_416_cal608": "output/convergence/yolov3/yolov3.tf.cal608",
     # the recommended recipe: interval-trained (scale-robust features,
-    # deliberately scale-blended BN) + per-scale recalibration
+    # deliberately scale-blended BN) + per-scale recalibration — one
+    # stats sibling per trained resolution
+    "ms_interval10_cal320": "output/convergence/yolov3_msi/yolov3.tf.cal320",
     "ms_interval10_cal416": "output/convergence/yolov3_msi/yolov3.tf.cal416",
     "ms_interval10_cal608": "output/convergence/yolov3_msi/yolov3.tf.cal608",
 }
 EVALS = {
+    # 320 evals resize the 608-native val split (the same geometry the
+    # staged multi-scale trainer used for its 320 batches)
+    "320": ("output/shapes_conv608", 320),
     "416": ("output/shapes_conv416", 416),
     "608": ("output/shapes_conv608", 608),
 }
