@@ -1,13 +1,13 @@
 """Translation audit of the browser port (js/src/*.js) against the Python
 spec (VERDICT r2 item 6).
 
-No JS engine exists in this environment (no node/deno/quickjs, no
-python-embedded engine), so the JS cannot be EXECUTED here — the exported
-graph-model artifact it loads is verified by TF re-injection in
-tests/test_tfjs_export.py, and these tests pin the hand-written JS math by
-extracting its op order and constants from the source text and asserting
-them against the same facts extracted from ops/decode.py / ops/nms.py /
-the bundled anchors. If either side's semantics drift, the audit fails.
+Since round 5 the port is also EXECUTED in-env by the jsvm harness
+(yolov3_tpu/jsvm/ + tests/test_js_execution.py) — decode/NMS/inference/
+render run as real source against the Python pipeline's goldens. These
+source-level audits are retained as a fast drift tripwire (they fail on
+semantic edits even when the execution tests aren't touched) and as the pin
+for facts execution can't see (e.g. that every tf.* name exists in the real
+TFJS 4.x registry, which the numpy shim can't prove).
 
 Audited invariants (reference: js/ mirrors /root/reference/js/src behavior):
   * decode: channel split layout (xy|wh|obj|cls), sigmoid/exp targets,
