@@ -402,6 +402,27 @@ def test_run_inference_js_end_to_end_crafted_heads():
         assert label == f"{det['className']}: {int(det['score'] * 100 + 0.5)}%"
 
 
+def test_run_inference_js_empty_detections_path():
+    """scoreThreshold above every candidate: empty gathers flow through the
+    whole pipeline (map over [], render loop over []) with zero leaks."""
+    nclasses = 4
+    g13, g26 = _crafted_heads(nclasses)
+    interp, shim = make_interp(
+        model_loader=lambda s, url: FakeGraphModel(s, [g26, g13]))
+    mod = interp.load_module(os.path.join(JS, "inference.js"))
+    rng = np.random.default_rng(11)
+    img_np = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    overlay = RecordingCanvas()
+    dets = interp.call(mod["runInference"], {
+        "modelUrl": "fake://model", "image": JsImage(img_np),
+        "overlay": overlay, "classNames": ["cat", "dog", "bird", "fish"],
+        "scoreThreshold": 0.9999,
+    })
+    assert dets == []
+    assert shim.num_live() == 0
+    assert [c for c in overlay.ctx.calls if c[0] != "clearRect"] == []
+
+
 def test_run_inference_js_real_graph_model(repo_root, tmp_path):
     """The js pipeline drives a REAL exported TFJS graph-model artifact
     (the same files a browser would fetch), executed through TF exactly as
