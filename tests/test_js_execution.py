@@ -28,7 +28,7 @@ import numpy as np
 import pytest
 
 from yolov3_tpu.jsvm import (GraphModelHost, Interpreter, JsError, JSPromise,
-                             JsImage, TfShim)
+                             JsImage, RecordingCanvas, TfShim)
 
 JS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "js", "src")
 
@@ -98,6 +98,68 @@ def test_interpreter_language_surface():
     assert interp.eval_expr("(87.6).toFixed(0)") == "88"
     assert interp.eval_expr("(0.4999).toFixed(0)") == "0"
     assert interp.eval_expr("(99.5).toFixed(0)") == "100"
+
+
+def test_interpreter_js_semantics_fidelity():
+    """Review-pass regressions: ES semantics the port could silently trip
+    on if they drifted (per-iteration let bindings, single-eval compound
+    targets, ToInt32 on NaN, parseInt/parseFloat coercion, template
+    escapes, catch-binding error objects, `new` precedence)."""
+    interp, _ = make_interp()
+    # ES2020 per-iteration let binding: closures capture that iteration
+    out = interp.run("""
+    const fns = [];
+    for (let i = 0; i < 3; i++) fns.push(() => i);
+    fns.map((f) => f());
+    """)
+    assert out == [0.0, 1.0, 2.0]
+    # compound assignment evaluates the index expression exactly once
+    out = interp.run("""
+    let calls = 0;
+    function idx() { calls++; return 0; }
+    const arr = [10];
+    arr[idx()] += 1;
+    [arr[0], calls];
+    """)
+    assert out == [11.0, 1.0]
+    # ECMA ToInt32 treats NaN/Infinity as 0
+    assert interp.eval_expr("~NaN") == -1.0
+    assert interp.eval_expr("(0/0) | 0") == 0.0
+    # parseInt/parseFloat longest-prefix coercion, NaN on no digits
+    assert interp.eval_expr("parseInt('10px')") == 10.0
+    assert interp.eval_expr("parseInt(5.0)") == 5.0
+    assert math.isnan(interp.eval_expr("parseFloat('abc')"))
+    assert interp.eval_expr("parseFloat('2.5e1x')") == 25.0
+    # template literals process \\u escapes like plain strings
+    assert interp.eval_expr("`\\u0041${1}`") == "A1"
+    # interpreter-raised errors bind as Error-shaped objects in catch
+    out = interp.run("""
+    let got = null;
+    try { undefinedName; } catch (e) { got = e.message + "|" + e.name; }
+    got;
+    """)
+    assert out == "undefinedName is not defined|JsError"
+    # `new X().y()` is (new X()).y(), not new (X().y)()
+    out = interp.run("""
+    function Box(v) { return { v, double: function () { return v * 2; } }; }
+    new Box(7).double();
+    """)
+    assert out == 14.0
+
+
+def test_shim_tidy_disposes_on_throw():
+    """TFJS disposes every scope tensor when the tidy'd fn throws — a
+    failing decode must not read as a (false) leak of the JS port."""
+    interp, shim = make_interp()
+    with pytest.raises(Exception, match="boom"):
+        interp.run("""
+        tf.tidy(() => {
+          const a = tf.tensor([1, 2, 3]);
+          const b = a.mul(2);
+          throw "boom";
+        });
+        """)
+    assert shim.num_live() == 0
 
 
 def test_module_graph_caching(tmp_path):
@@ -251,41 +313,6 @@ def test_nms_js_threshold_and_suppression_semantics():
 # inference.js + render.js — full pipeline
 
 
-class RecordingCtx:
-    def __init__(self):
-        self.calls = []
-        self.lineWidth = None
-        self.font = None
-        self.strokeStyle = None
-        self.fillStyle = None
-
-    def clearRect(self, *a):
-        self.calls.append(("clearRect", a, None))
-
-    def strokeRect(self, *a):
-        self.calls.append(("strokeRect", a, self.strokeStyle))
-
-    def fillRect(self, *a):
-        self.calls.append(("fillRect", a, self.fillStyle))
-
-    def fillText(self, *a):
-        self.calls.append(("fillText", a, self.fillStyle))
-
-    def measureText(self, s):
-        return {"width": 7.0 * len(s)}
-
-
-class RecordingCanvas:
-    def __init__(self):
-        self.width = 0
-        self.height = 0
-        self.ctx = RecordingCtx()
-
-    def getContext(self, kind):
-        assert kind == "2d"
-        return self.ctx
-
-
 class FakeGraphModel:
     """executeAsync returns preset head grids (decode/NMS/render still run
     the real JS); grid order deliberately 26-first to exercise the port's
@@ -387,18 +414,18 @@ def test_run_inference_js_end_to_end_crafted_heads():
     assert set(expected_names) == {"cat", "dog", "bird", "fish"}
 
     # render.js drew each detection at displayed-image geometry
-    calls = overlay.ctx.calls
     assert overlay.width == 80 and overlay.height == 100
-    strokes = [c for c in calls if c[0] == "strokeRect"]
-    texts = [c for c in calls if c[0] == "fillText"]
+    strokes = overlay.ctx.ops("strokeRect")
+    texts = overlay.ctx.ops("fillText")
     assert len(strokes) == len(texts) == len(dets)
-    for (kind, args, color), det in zip(strokes, dets):
+    for call, det in zip(strokes, dets):
         x0, y0, x1, y1 = det["box"]
         np.testing.assert_allclose(
-            args, [x0 * 80, y0 * 100, (x1 - x0) * 80, (y1 - y0) * 100], atol=1e-6)
-        assert color == _js_hash_color(det["className"])
-    for (kind, args, color), det in zip(texts, dets):
-        label = args[0]
+            call["args"],
+            [x0 * 80, y0 * 100, (x1 - x0) * 80, (y1 - y0) * 100], atol=1e-6)
+        assert call["color"] == _js_hash_color(det["className"])
+    for call, det in zip(texts, dets):
+        label = call["args"][0]
         assert label == f"{det['className']}: {int(det['score'] * 100 + 0.5)}%"
 
 
@@ -420,7 +447,7 @@ def test_run_inference_js_empty_detections_path():
     })
     assert dets == []
     assert shim.num_live() == 0
-    assert [c for c in overlay.ctx.calls if c[0] != "clearRect"] == []
+    assert [c for c in overlay.ctx.calls if c["op"] != "clearRect"] == []
 
 
 def test_run_inference_js_real_graph_model(repo_root, tmp_path):
@@ -479,4 +506,4 @@ def test_run_inference_js_real_graph_model(repo_root, tmp_path):
         assert len(d["box"]) == 4
         assert 0.1 < d["score"] <= 1.0
         assert d["className"] in ("a", "b", "c")
-    assert len([c for c in overlay.ctx.calls if c[0] == "strokeRect"]) == len(dets)
+    assert len(overlay.ctx.ops("strokeRect")) == len(dets)

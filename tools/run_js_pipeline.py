@@ -32,44 +32,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-class _RecordingCtx:
-    """Canvas 2D context stand-in: records the draw calls render.js makes."""
-
-    def __init__(self):
-        self.calls = []
-        self.lineWidth = None
-        self.font = None
-        self.strokeStyle = None
-        self.fillStyle = None
-
-    def clearRect(self, *a):
-        self.calls.append({"op": "clearRect", "args": list(a)})
-
-    def strokeRect(self, *a):
-        self.calls.append({"op": "strokeRect", "args": list(a),
-                           "color": self.strokeStyle})
-
-    def fillRect(self, *a):
-        self.calls.append({"op": "fillRect", "args": list(a),
-                           "color": self.fillStyle})
-
-    def fillText(self, *a):
-        self.calls.append({"op": "fillText", "args": list(a)})
-
-    def measureText(self, s):
-        return {"width": 7.0 * len(s)}
-
-
-class _RecordingCanvas:
-    def __init__(self):
-        self.width = 0
-        self.height = 0
-        self._ctx = _RecordingCtx()
-
-    def getContext(self, kind):
-        return self._ctx
-
-
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--model_dir", required=True,
@@ -92,7 +54,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from yolov3_tpu.data.image import decode_image
-    from yolov3_tpu.jsvm import GraphModelHost, Interpreter, JsImage, TfShim
+    from yolov3_tpu.jsvm import (GraphModelHost, Interpreter, JsImage,
+                                 RecordingCanvas, TfShim)
 
     with open(args.image, "rb") as f:
         img_np = decode_image(f.read())
@@ -103,7 +66,7 @@ def main(argv=None):
     interp = Interpreter({"tf": shim})
     mod = interp.load_module(os.path.join(REPO, "js", "src", "inference.js"))
 
-    overlay = _RecordingCanvas()
+    overlay = RecordingCanvas()
     request = {
         "modelUrl": args.model_dir,
         "image": JsImage(img_np),
@@ -121,7 +84,7 @@ def main(argv=None):
     leaked = shim.num_live()
 
     print(f"js pipeline: {len(dets)} detections "
-          f"({len(overlay._ctx.calls)} canvas draw calls, "
+          f"({len(overlay.ctx.calls)} canvas draw calls, "
           f"{leaked} leaked tensors)")
     for d in dets:
         x0, y0, x1, y1 = d["box"]
@@ -140,7 +103,7 @@ def main(argv=None):
 
     if args.json_out:
         with open(args.json_out, "w") as f:
-            json.dump({"detections": dets, "draw_calls": overlay._ctx.calls},
+            json.dump({"detections": dets, "draw_calls": overlay.ctx.calls},
                       f, indent=2)
         print(f"wrote {args.json_out}")
     return 0

@@ -23,10 +23,12 @@ ours executes here, engine or not.
 
 from .interp import (Interpreter, JSFunction, JSPromise, JsError,
                      JsSyntaxError, JsThrow, js_to_string, js_truthy)
-from .tfshim import GraphModelHost, JsImage, TfShim, TfTensor
+from .tfshim import (GraphModelHost, JsImage, RecordingCanvas,
+                     RecordingContext2D, TfShim, TfTensor)
 
 __all__ = [
     "Interpreter", "JSFunction", "JSPromise", "JsError", "JsSyntaxError",
     "JsThrow", "js_to_string", "js_truthy",
-    "GraphModelHost", "JsImage", "TfShim", "TfTensor",
+    "GraphModelHost", "JsImage", "RecordingCanvas", "RecordingContext2D",
+    "TfShim", "TfTensor",
 ]

@@ -177,7 +177,10 @@ def _num_to_string(x: float) -> str:
 
 
 def _to_int32(x) -> float:
-    n = int(float(x)) & 0xFFFFFFFF
+    f = float(x)
+    if math.isnan(f) or math.isinf(f):
+        return 0.0  # ECMA ToInt32
+    n = int(f) & 0xFFFFFFFF
     if n >= 0x80000000:
         n -= 0x100000000
     return float(n)
@@ -391,11 +394,44 @@ def _make_globals():
                     "error": lambda *args: print(*[js_to_string(a) for a in args])},
         "NaN": float("nan"),
         "Infinity": float("inf"),
-        "parseInt": lambda s, base=10.0: float(int(str(s), int(base))),
-        "parseFloat": lambda s: float(s),
+        "parseInt": _js_parse_int,
+        "parseFloat": _js_parse_float,
         "isNaN": lambda v: isinstance(v, float) and math.isnan(v),
         "String": js_to_string,
     }
+
+
+def _js_parse_int(s, base=10.0):
+    """ECMA parseInt: longest valid prefix of ToString(s); NaN if none."""
+    text = js_to_string(s).strip()
+    b = int(base) if base and not math.isnan(float(base)) else 10
+    sign = 1
+    if text[:1] in "+-":
+        sign = -1 if text[0] == "-" else 1
+        text = text[1:]
+    if b == 16 and text[:2].lower() == "0x":
+        text = text[2:]
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"[:b]
+    i = 0
+    while i < len(text) and text[i].lower() in digits:
+        i += 1
+    if i == 0:
+        return float("nan")
+    return float(sign * int(text[:i], b))
+
+
+def _js_parse_float(s):
+    """ECMA parseFloat: longest valid decimal prefix; NaN if none."""
+    import re
+
+    text = js_to_string(s).strip()
+    m = re.match(r"[+-]?(Infinity|\d+\.?\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?)",
+                 text)
+    if not m:
+        return float("nan")
+    token = m.group(0)
+    return float("inf") * (-1 if token.startswith("-") else 1) \
+        if token.lstrip("+-") == "Infinity" else float(token)
 
 
 def _json_stringify(v):
@@ -511,13 +547,29 @@ class Interpreter:
             loop_env = Env(parent=env)
             if init is not None:
                 self.exec_stmt(init, loop_env)
+            # ES2020: let/const loop variables get a FRESH binding each
+            # iteration (closures created in the body capture that
+            # iteration's value, not the final one)
+            per_iter = []
+            if init is not None and init[0] == "decl" and init[1] in ("let", "const"):
+                per_iter = [n for target, _ in init[2]
+                            for n in _pattern_names(target)]
             while test is None or js_truthy(self.eval(test, loop_env)):
+                if per_iter:
+                    iter_env = Env(parent=env)
+                    for n in per_iter:
+                        iter_env.declare(n, loop_env.vars[n])
+                else:
+                    iter_env = loop_env
                 try:
-                    self.exec_stmt(body, Env(parent=loop_env))
+                    self.exec_stmt(body, Env(parent=iter_env))
                 except _Break:
                     break
                 except _Continue:
                     pass
+                if per_iter:  # body mutations flow into the update/test copy
+                    for n in per_iter:
+                        loop_env.vars[n] = iter_env.vars[n]
                 if update is not None:
                     self.eval(update, loop_env)
         elif kind == "forof":
@@ -558,7 +610,15 @@ class Interpreter:
                     raise
                 cenv = Env(parent=env)
                 if cparam is not None:
-                    value = e.value if isinstance(e, JsThrow) else e
+                    if isinstance(e, JsThrow):
+                        value = e.value  # whatever the JS threw, verbatim
+                    else:
+                        # host/interpreter exceptions surface as an
+                        # Error-shaped object so `e.message` / `e.name`
+                        # work like they would in a real engine
+                        value = {"message": str(e),
+                                 "name": type(e).__name__,
+                                 "stack": f"{type(e).__name__}: {e}"}
                     self.bind_pattern(cparam, value, cenv)
                 self.exec_block(cblock, cenv)
             finally:
@@ -814,27 +874,31 @@ class Interpreter:
             raise JsError(f"unknown unary {op!r}")
         if kind == "update":
             _, op, target, prefix = node
-            old = float(self._read_target(target, env))
+            ref = self._resolve_target(target, env)
+            old = float(self._ref_read(ref, env))
             new = old + (1.0 if op == "++" else -1.0)
-            self.assign_target(target, new, env)
+            self._ref_write(ref, new, env)
             return new if prefix else old
         if kind == "assign":
             _, op, target, value_expr = node
             if op == "=":
                 value = self.eval(value_expr, env)
+                self.assign_target(target, value, env)
+                return value
+            # compound forms evaluate the target's object/key exactly once
+            ref = self._resolve_target(target, env)
+            current = self._ref_read(ref, env)
+            if op in ("&&=", "||=", "??="):
+                take = {"&&=": js_truthy(current),
+                        "||=": not js_truthy(current),
+                        "??=": current is None}[op]
+                if not take:
+                    return current
+                value = self.eval(value_expr, env)
             else:
-                current = self._read_target(target, env)
-                if op in ("&&=", "||=", "??="):
-                    take = {"&&=": js_truthy(current),
-                            "||=": not js_truthy(current),
-                            "??=": current is None}[op]
-                    if not take:
-                        return current
-                    value = self.eval(value_expr, env)
-                else:
-                    value = self._binop(op[:-1], current,
-                                        self.eval(value_expr, env))
-            self.assign_target(target, value, env)
+                value = self._binop(op[:-1], current,
+                                    self.eval(value_expr, env))
+            self._ref_write(ref, value, env)
             return value
         if kind == "cond":
             return (self.eval(node[2], env) if js_truthy(self.eval(node[1], env))
@@ -846,15 +910,34 @@ class Interpreter:
             return self.eval(node[2], env)
         raise JsError(f"unknown expression kind {kind!r}")
 
-    def _read_target(self, target, env):
+    def _resolve_target(self, target, env):
+        """Evaluate a target's object/key expressions ONCE (JS reference
+        semantics — `arr[f()] += 1` must call f exactly once)."""
         if target[0] == "ident":
-            return env.lookup(target[1])
+            return ("ident", target[1], None)
         if target[0] == "member":
-            return self.member_get(self.eval(target[1], env), target[2])
+            return ("member", self.eval(target[1], env), target[2])
         if target[0] == "index":
-            return self.index_get(self.eval(target[1], env),
-                                  self.eval(target[2], env))
+            return ("index", self.eval(target[1], env),
+                    self.eval(target[2], env))
         raise JsError("invalid assignment target")
+
+    def _ref_read(self, ref, env):
+        kind, a, b = ref
+        if kind == "ident":
+            return env.lookup(a)
+        if kind == "member":
+            return self.member_get(a, b)
+        return self.index_get(a, b)
+
+    def _ref_write(self, ref, value, env):
+        kind, a, b = ref
+        if kind == "ident":
+            env.assign(a, value)
+        elif kind == "member":
+            self.member_set(a, b, value)
+        else:
+            self.index_set(a, b, value)
 
     def _eval_args(self, arg_nodes, env):
         args = []

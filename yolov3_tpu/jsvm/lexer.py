@@ -49,6 +49,31 @@ class Token:
         return f"Token({self.kind}, {self.value!r}, line={self.line})"
 
 
+def _read_escape(src, i, line):
+    """Decode the escape starting at the backslash ``src[i]``.
+
+    Returns (text, next_index, line). Shared by string AND template
+    lexing so ``\\u``/``\\x`` behave identically in both.
+    """
+    i += 1
+    if i >= len(src):
+        raise JsSyntaxError(f"dangling backslash at line {line}")
+    e = src[i]
+    try:
+        if e == "u":
+            if src[i + 1] == "{":
+                j = src.index("}", i)
+                return chr(int(src[i + 2:j], 16)), j + 1, line
+            return chr(int(src[i + 1:i + 5], 16)), i + 5, line
+        if e == "x":
+            return chr(int(src[i + 1:i + 3], 16)), i + 3, line
+    except (ValueError, IndexError) as exc:
+        raise JsSyntaxError(f"bad \\{e} escape at line {line}") from exc
+    if e == "\n":
+        line += 1
+    return _ESCAPES.get(e, e), i + 1, line
+
+
 def _read_string(src, i, quote, line):
     out = []
     i += 1
@@ -57,27 +82,8 @@ def _read_string(src, i, quote, line):
         if c == quote:
             return "".join(out), i + 1, line
         if c == "\\":
-            i += 1
-            if i >= len(src):
-                break
-            e = src[i]
-            if e == "u":
-                if src[i + 1] == "{":
-                    j = src.index("}", i)
-                    out.append(chr(int(src[i + 2:j], 16)))
-                    i = j + 1
-                else:
-                    out.append(chr(int(src[i + 1:i + 5], 16)))
-                    i += 5
-                continue
-            if e == "x":
-                out.append(chr(int(src[i + 1:i + 3], 16)))
-                i += 3
-                continue
-            out.append(_ESCAPES.get(e, e))
-            if e == "\n":
-                line += 1
-            i += 1
+            text, i, line = _read_escape(src, i, line)
+            out.append(text)
             continue
         if c == "\n":
             raise JsSyntaxError(f"unterminated string at line {line}")
@@ -98,9 +104,8 @@ def _read_template(src, i, line):
                 parts.append(("str", "".join(chunk)))
             return parts, i + 1, line
         if c == "\\":
-            e = src[i + 1]
-            chunk.append(_ESCAPES.get(e, e))
-            i += 2
+            text, i, line = _read_escape(src, i, line)
+            chunk.append(text)
             continue
         if c == "$" and i + 1 < len(src) and src[i + 1] == "{":
             if chunk:
@@ -163,7 +168,10 @@ def tokenize(src: str):
                 tokens.append(Token("num", float(int(src[i:j], 16)), line))
                 i = j
                 continue
-            while j < n and (src[j].isdigit() or src[j] == "."):
+            seen_dot = False
+            while j < n and (src[j].isdigit() or (src[j] == "." and not seen_dot)):
+                if src[j] == ".":
+                    seen_dot = True
                 j += 1
             if j < n and src[j] in "eE":
                 j += 1

@@ -453,11 +453,25 @@ class Parser:
 
     def parse_call_member(self):
         if self.eat("keyword", "new"):
-            callee = self.parse_call_member()
-            if callee[0] != "call":
-                callee = ("call", callee, [])
-            return ("new", callee[1], callee[2])
-        expr = self.parse_primary()
+            # `new` binds to the member chain only; the FIRST argument list
+            # is the constructor call — later .m()/(…) apply to the result
+            callee = self.parse_primary()
+            while True:
+                if self.at_punct("."):
+                    self.next()
+                    name = self.next()
+                    callee = ("member", callee, name.value)
+                elif self.at_punct("["):
+                    self.next()
+                    idx = self.parse_expression()
+                    self.expect("punct", "]")
+                    callee = ("index", callee, idx)
+                else:
+                    break
+            args = self.parse_args() if self.at_punct("(") else []
+            expr = ("new", callee, args)
+        else:
+            expr = self.parse_primary()
         while True:
             if self.at_punct("."):
                 self.next()

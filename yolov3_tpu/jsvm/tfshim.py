@@ -26,7 +26,8 @@ import numpy as np
 
 from .interp import JSPromise, JsError
 
-__all__ = ["TfShim", "TfTensor", "GraphModelHost", "JsImage"]
+__all__ = ["TfShim", "TfTensor", "GraphModelHost", "JsImage",
+           "RecordingCanvas", "RecordingContext2D"]
 
 
 def _axis(a, ndim):
@@ -276,6 +277,64 @@ class JsImage:
         self.width = int(self.data.shape[1])
 
 
+class RecordingContext2D:
+    """Canvas 2D context stand-in recording the draw calls render.js makes.
+
+    Each call appends ``{"op", "args", "color"}`` (color = the stroke/fill
+    style active at call time) so tests and tools can assert geometry,
+    label text, and palette choices without a DOM.
+    """
+
+    CHAR_WIDTH = 7.0  # fixed-metric measureText stand-in
+
+    def __init__(self):
+        self.calls = []
+        self.lineWidth = None
+        self.font = None
+        self.strokeStyle = None
+        self.fillStyle = None
+
+    def _record(self, op, args, color=None):
+        self.calls.append({"op": op, "args": list(args), "color": color})
+
+    def clearRect(self, *a):
+        self._record("clearRect", a)
+
+    def strokeRect(self, *a):
+        self._record("strokeRect", a, self.strokeStyle)
+
+    def fillRect(self, *a):
+        self._record("fillRect", a, self.fillStyle)
+
+    def fillText(self, *a):
+        self._record("fillText", a, self.fillStyle)
+
+    def strokeText(self, *a):
+        self._record("strokeText", a, self.strokeStyle)
+
+    def measureText(self, s):
+        return {"width": self.CHAR_WIDTH * len(s)}
+
+    def ops(self, op=None):
+        if op is None:
+            return list(self.calls)
+        return [c for c in self.calls if c["op"] == op]
+
+
+class RecordingCanvas:
+    """HTMLCanvasElement stand-in: .width/.height + getContext('2d')."""
+
+    def __init__(self):
+        self.width = 0
+        self.height = 0
+        self.ctx = RecordingContext2D()
+
+    def getContext(self, kind):
+        if kind != "2d":
+            raise JsError(f"unsupported canvas context {kind!r}")
+        return self.ctx
+
+
 class _BrowserNs:
     def __init__(self, shim):
         self._shim = shim
@@ -404,8 +463,12 @@ class TfShim:
         self._scopes.append([])
         try:
             result = fn()
-        finally:
-            created = self._scopes.pop()
+        except BaseException:
+            # TFJS disposes every tensor the scope created when fn throws
+            for t in self._scopes.pop():
+                t.dispose()
+            raise
+        created = self._scopes.pop()
         kept: set[int] = set()
         _collect_tensors(result, kept)
         for t in created:
